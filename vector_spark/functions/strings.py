@@ -1,0 +1,201 @@
+"""VRL string/number/type/crypto functions → Spark Column expressions.
+
+Grouped mapping from SURVEY.md §2.4 (registry
+/root/reference/lib/vrl/stdlib/src/lib.rs:490+). Everything here is a
+built-in-function composition — JVM-side, codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ANSI_ESCAPE_RX = r"\x1b\[[0-9;]*[A-Za-z]|\x1b\].*?(?:\x07|\x1b\\)|\x1b[@-Z\\-_]"
+
+# ---- string ----------------------------------------------------------
+
+
+def downcase(col: Column) -> Column:
+    return F.lower(col)
+
+
+def upcase(col: Column) -> Column:
+    return F.upper(col)
+
+
+def truncate(col: Column, limit: int, ellipsis: bool = False) -> Column:
+    """VRL truncate(value, limit, ellipsis): cut to limit chars."""
+    cut = F.substring(col, 1, limit)
+    if not ellipsis:
+        return cut
+    return F.when(F.length(col) > limit, F.concat(cut, F.lit("..."))).otherwise(col)
+
+
+def slice_(col: Column, start: int, end: int | None = None) -> Column:
+    """VRL slice(value, start, end) — 0-based, end exclusive (vs SQL's
+    1-based substring)."""
+    length = (end - start) if end is not None else (1 << 30)
+    return F.substring(col, start + 1, length)
+
+
+def replace(col: Column, pattern: str, replacement: str) -> Column:
+    return F.regexp_replace(col, pattern, replacement)
+
+
+def strip_whitespace(col: Column) -> Column:
+    return F.trim(col)
+
+
+def strip_ansi_escape_codes(col: Column) -> Column:
+    """VRL strip_ansi_escape_codes / the ansi_stripper transform
+    (/root/reference/src/transforms/ansi_stripper.rs:12-56)."""
+    return F.regexp_replace(col, ANSI_ESCAPE_RX, "")
+
+
+def redact(col: Column, patterns: list[str], text: str = "[REDACTED]") -> Column:
+    """VRL redact: replace every match of every pattern."""
+    out = col
+    for p in patterns:
+        out = F.regexp_replace(out, p, text)
+    return out
+
+
+def match_(col: Column, pattern: str) -> Column:
+    return col.rlike(pattern)
+
+
+def find(col: Column, substr: str) -> Column:
+    """VRL find → 0-based index or -1."""
+    return F.locate(substr, col) - 1
+
+
+def join_(col: Column, sep: str) -> Column:
+    return F.array_join(col, sep)
+
+
+def split_(col: Column, pattern: str, limit: int = -1) -> Column:
+    return F.split(col, pattern, limit)
+
+
+# ---- number / math ----------------------------------------------------
+
+
+def ceil_(col: Column, precision: int = 0) -> Column:
+    return F.ceil(col * (10**precision)) / (10**precision) if precision else F.ceil(col)
+
+
+def floor_(col: Column, precision: int = 0) -> Column:
+    return F.floor(col * (10**precision)) / (10**precision) if precision else F.floor(col)
+
+
+def round_(col: Column, precision: int = 0) -> Column:
+    return F.round(col, precision)
+
+
+def format_number(col: Column, scale: int = 0) -> Column:
+    return F.format_number(col, scale)
+
+
+def format_timestamp(col: Column, fmt: str) -> Column:
+    """VRL format_timestamp (strftime) — callers pass Java patterns."""
+    return F.date_format(col, fmt)
+
+
+def log_(col: Column, base: float | None = None) -> Column:
+    return F.log(base, col) if base else F.log(col)
+
+
+# ---- type conversions (VRL to_* are fallible → try_cast/null) ----------
+
+
+def to_bool(col: Column) -> Column:
+    """VRL to_bool: "true"/"t"/"yes"/"y"/"1" → true (conversion.rs:22-30)."""
+    lowered = F.lower(col.cast("string"))
+    return (
+        F.when(lowered.isin("true", "t", "yes", "y", "1"), F.lit(True))
+        .when(lowered.isin("false", "f", "no", "n", "0"), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def to_int(col: Column) -> Column:
+    return col.cast("long")
+
+
+def to_float(col: Column) -> Column:
+    return col.cast("double")
+
+
+def to_string(col: Column) -> Column:
+    return col.cast("string")
+
+
+def to_timestamp(col: Column) -> Column:
+    return F.try_to_timestamp(col.cast("string"))
+
+
+def to_unix_timestamp(col: Column) -> Column:
+    return F.unix_timestamp(col)
+
+
+def is_nullish(col: Column) -> Column:
+    """VRL is_nullish: null, empty string, '-', or whitespace-only."""
+    s = col.cast("string")
+    return col.isNull() | (F.trim(s) == "") | (s == "-")
+
+
+# ---- crypto / id ------------------------------------------------------
+
+
+def md5_(col: Column) -> Column:
+    return F.md5(col.cast("string"))
+
+
+def sha1_(col: Column) -> Column:
+    return F.sha1(col.cast("string"))
+
+
+def sha2_(col: Column, bits: int = 256) -> Column:
+    return F.sha2(col.cast("string"), bits)
+
+
+def uuid_v4() -> Column:
+    """Non-deterministic by definition — do not use in oracle-checked paths."""
+    return F.expr("uuid()")
+
+
+# ---- array ------------------------------------------------------------
+
+
+def append(col: Column, items: Column) -> Column:
+    return F.concat(col, items)
+
+
+def push(col: Column, item) -> Column:
+    return F.concat(col, F.array(F.lit(item)))
+
+
+def includes(col: Column, item) -> Column:
+    return F.array_contains(col, item)
+
+
+def unique(col: Column) -> Column:
+    return F.array_distinct(col)
+
+
+def tally(col: Column) -> Column:
+    """VRL tally: array → map<value, count>. Pure expression via
+    aggregate over the distinct values."""
+    return F.map_from_arrays(
+        F.array_distinct(col),
+        F.transform(F.array_distinct(col), lambda v: F.size(F.filter(col, lambda x: x == v))),
+    )
+
+
+def compact(col: Column) -> Column:
+    """VRL compact on arrays: drop nulls/empties."""
+    return F.filter(col, lambda x: x.isNotNull() & (x.cast("string") != ""))
+
+
+def flatten_(col: Column) -> Column:
+    return F.flatten(col)
