@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship pipeline slice on sf0.001.
+queries()     — one entry per implemented operator (SURVEY.md §2) plus the
+                training-data ops, each (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-equivalent ANSI SQL per query (same column names,
+                same values; floats rounded on both sides).
+
+Implementation notes:
+- portable hash: conv(substr(md5(x),1,15),16,10) == DuckDB
+  ('0x'||substr(md5(x),1,15))::BIGINT — used for dedupe/minhash/simhash
+  so Spark and the oracle agree bit-for-bit.
+- timestamps are exported as unix micros (unix_micros / epoch_us) to
+  dodge timezone/precision formatting drift.
+- all float outputs are rounded to fixed decimals on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +20,847 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _md5_long(col):
+    """Portable 60-bit hash from md5 hex (matches the DuckDB oracle)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_MD5_LONG_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+# =====================================================================
+# entry — flagship slice
+# =====================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse (json props) → route (errors lane) → aggregate,
+    on the driver's sf0.001 events table."""
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    parsed = ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+    errors = parsed.filter((F.col("event_type") == "error") | (F.col("value") >= 95.0))
+    return errors.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+# =====================================================================
+# queries + oracles (kept adjacent per operator for reviewability)
+# =====================================================================
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---- transform #2 filter (src/transforms/filter.rs:65-71) -----------
+
+
+@_q(
+    "filter",
+    """
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM events WHERE event_type = 'error' AND value > 10.0
+    """,
+)
+def q_filter(spark, sf):
+    from vector_spark.operators.filter import Filter
+
+    ev = _t(spark, sf, "events")
+    out = Filter((F.col("event_type") == "error") & (F.col("value") > 10.0)).apply(ev)
+    return out.select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+# ---- transform #3 route (src/transforms/route.rs:101-120) ------------
+# parallel independent lanes; each lane is its own query so the oracle
+# checks the exact routed-row set per lane (multi-match semantics).
+
+_LANES_SQL = {
+    "errors": "event_type = 'error' OR value >= 95.0",
+    "bigvalue": "value >= 50.0",
+    "clicky": "event_type IN ('click', 'view')",
+}
+
+
+def _route_lanes():
+    return {
+        "errors": (F.col("event_type") == "error") | (F.col("value") >= 95.0),
+        "bigvalue": F.col("value") >= 50.0,
+        "clicky": F.col("event_type").isin("click", "view"),
+    }
+
+
+def _mk_route(lane: str):
+    @_q(
+        f"route_{lane}",
+        f"SELECT event_id, event_type, round(value,2) AS value FROM events WHERE {_LANES_SQL[lane]}",
+    )
+    def q(spark, sf, lane=lane):
+        from vector_spark.operators.route import Route
+
+        ev = _t(spark, sf, "events")
+        lanes = Route(_route_lanes()).apply(ev)
+        return lanes[lane].select("event_id", "event_type", F.round("value", 2).alias("value"))
+
+    return q
+
+
+for _lane in _LANES_SQL:
+    _mk_route(_lane)
+
+_ORACLES["route_unmatched"] = (
+    "SELECT event_id, event_type FROM events WHERE NOT ("
+    + " OR ".join(f"({c})" for c in _LANES_SQL.values())
+    + ")"
+)
+
+
+@_q("route_unmatched")
+def q_route_unmatched(spark, sf):
+    from vector_spark.operators.route import Route
+
+    ev = _t(spark, sf, "events")
+    lanes = Route(_route_lanes(), with_unmatched=True).apply(ev)
+    return lanes["_unmatched"].select("event_id", "event_type")
+
+
+# ---- transform #4 sample (src/transforms/sample.rs:107-138) ----------
+# keyed deterministic sampling; modulo variant is the SQL-portable form
+# (xxhash64 keyed variant exercised in pytest).
+
+
+@_q(
+    "sample_keyed",
+    """
+    SELECT event_id, user_id, 10 AS sample_rate
+    FROM events WHERE user_id % 10 = 0
+    """,
+)
+def q_sample(spark, sf):
+    from vector_spark.operators.sample import Sample
+
+    ev = _t(spark, sf, "events")
+    out = Sample(rate=10, key_field="user_id", modulo=True).apply(ev)
+    return out.select("event_id", "user_id", "sample_rate")
+
+
+# ---- transform #5 dedupe (src/transforms/dedupe.rs:155-163) ----------
+
+
+@_q(
+    "dedupe",
+    """
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q_dedupe(spark, sf):
+    from vector_spark.operators.dedupe import Dedupe
+
+    ev = _t(spark, sf, "events")
+    out = Dedupe(match=["user_id", "event_type"], order_by="ts", tiebreak="event_id").apply(ev)
+    return out.select("user_id", "event_type", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+
+
+# ---- transform #6 reduce (merge_strategy.rs:9-21) --------------------
+
+
+@_q(
+    "reduce_merge",
+    """
+    SELECT user_id,
+           round(sum(value), 2) AS sum_value,
+           round(max(value), 2) AS max_value,
+           round(min(value), 2) AS min_value,
+           min_by(event_type, event_id) AS first_type,
+           max_by(event_type, event_id) AS last_type,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_reduce(spark, sf):
+    ev = _t(spark, sf, "events")
+    # strategies: Sum, Max, Min, Discard(first), Retain(last) over
+    # arrival order (event_id is the arrival sequence in this corpus)
+    return ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---- transform #7 aggregate (aggregate.rs:72-107): tumbling window ---
+
+
+@_q(
+    "aggregate_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start_ts, event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_aggregate_window(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start_ts"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+
+
+# ---- transform #8 log_to_metric (log_to_metric.rs:206+) --------------
+
+
+@_q(
+    "log_to_metric",
+    """
+    SELECT event_type AS name, count(*) AS counter_value,
+           round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS set_cardinality
+    FROM events GROUP BY event_type
+    """,
+)
+def q_log_to_metric(spark, sf):
+    ev = _t(spark, sf, "events")
+    # counter(+1) / counter(increment_by_value) / set per event_type,
+    # pre-aggregated (the fused log_to_metric → aggregate stage)
+    return ev.groupBy(F.col("event_type").alias("name")).agg(
+        F.count(F.lit(1)).alias("counter_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("set_cardinality"),
+    )
+
+
+# ---- transform #11 json_parser (json_parser.rs:73-120) ---------------
+
+
+@_q(
+    "json_parser",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def q_json_parser(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select("event_id", F.get_json_object("props", "$.k").cast("int").alias("k"))
+
+
+# ---- transform #10 regex_parser (regex_parser.rs:109-139) ------------
+
+
+@_q(
+    "regex_parser",
+    r"""
+    SELECT event_id,
+           CASE WHEN regexp_extract(props, '"k": (\d+)', 1) = ''
+                THEN NULL
+                ELSE CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)
+           END AS k
+    FROM events
+    """,
+)
+def q_regex_parser(spark, sf):
+    from vector_spark.operators.remap import RegexParser
+
+    ev = _t(spark, sf, "events")
+    out = RegexParser([(r'"k": (\d+)', {"k": 1})], field="props", types={"k": "int"}).apply(ev)
+    return out.select("event_id", "k")
+
+
+# ---- transform #9 grok_parser (grok_parser.rs:107-148) ---------------
+# round-trip: render a log line from columns, grok it back, compare the
+# recovered typed fields.
+
+
+@_q(
+    "grok_parser",
+    r"""
+    WITH lines AS (
+      SELECT event_id,
+             event_type || ' uid=' || user_id || ' v=' || round(value,2) AS line
+      FROM events)
+    SELECT event_id,
+           regexp_extract(line, '^(\w+) uid=([+-]?[0-9]+) v=([+-]?[0-9]+(?:\.[0-9]+)?)$', 1) AS etype,
+           CAST(regexp_extract(line, '^(\w+) uid=([+-]?[0-9]+) v=([+-]?[0-9]+(?:\.[0-9]+)?)$', 2) AS BIGINT) AS uid,
+           round(CAST(regexp_extract(line, '^(\w+) uid=([+-]?[0-9]+) v=([+-]?[0-9]+(?:\.[0-9]+)?)$', 3) AS DOUBLE), 2) AS val
+    FROM lines
+    """,
+)
+def q_grok_parser(spark, sf):
+    from vector_spark.functions.grok import grok_extract
+
+    ev = _t(spark, sf, "events")
+    line = F.concat(
+        F.col("event_type"), F.lit(" uid="), F.col("user_id"), F.lit(" v="), F.round("value", 2)
+    )
+    caps = grok_extract(line, "^%{WORD:etype} uid=%{INT:uid:int} v=%{NUMBER:val:float}$")
+    return ev.select(
+        "event_id",
+        caps["etype"].alias("etype"),
+        caps["uid"].alias("uid"),
+        F.round(caps["val"], 2).alias("val"),
+    )
+
+
+# ---- transforms #12/#13 logfmt / key_value parser --------------------
+
+
+@_q(
+    "kv_parser",
+    r"""
+    WITH lines AS (
+      SELECT event_id, 'type=' || event_type || ' uid=' || user_id AS line FROM events)
+    SELECT event_id,
+           regexp_extract(line, 'type=(\S+)', 1) AS type,
+           CAST(regexp_extract(line, 'uid=(\S+)', 1) AS BIGINT) AS uid
+    FROM lines
+    """,
+)
+def q_kv_parser(spark, sf):
+    from vector_spark.functions.parse import parse_key_value
+
+    ev = _t(spark, sf, "events")
+    line = F.concat(F.lit("type="), F.col("event_type"), F.lit(" uid="), F.col("user_id"))
+    m = parse_key_value(line)
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type"),
+        F.element_at(m, "uid").cast("long").alias("uid"),
+    )
+
+
+# ---- transforms #14/#15 tokenizer / split ----------------------------
+
+
+@_q(
+    "tokenizer",
+    """
+    SELECT doc_id, string_split(text, ' ')[1] AS first_tok,
+           len(string_split(text, ' ')) AS n_toks
+    FROM documents
+    """,
+)
+def q_tokenizer(spark, sf):
+    from vector_spark.functions.parse import parse_tokens
+
+    docs = _t(spark, sf, "documents")
+    toks = parse_tokens(F.col("text"))
+    return docs.select(
+        "doc_id", F.get(toks, 0).alias("first_tok"), F.size(toks).alias("n_toks")
+    )
+
+
+# ---- transform #17 coercer (coercer.rs:58) ---------------------------
+
+
+@_q(
+    "coercer",
+    """
+    SELECT event_id, CAST(floor(value) AS BIGINT) AS value_int,
+           CAST(user_id AS VARCHAR) AS user_str, epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def q_coercer(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.floor("value").cast("long").alias("value_int"),
+        F.col("user_id").cast("string").alias("user_str"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
+# ---- transforms #18/#19/#20 add/remove/rename + #22 concat -----------
+
+
+@_q(
+    "field_shaping",
+    """
+    SELECT event_id AS id, upper(event_type) AS tag,
+           'vector-' || event_type || '-' || user_id AS routing_key,
+           substr(event_type, 1, 3) || '/' || CAST(user_id AS VARCHAR) AS shard
+    FROM events
+    """,
+)
+def q_field_shaping(spark, sf):
+    from vector_spark.operators.fields import AddFields, RemoveFields, RenameFields
+
+    ev = _t(spark, sf, "events")
+    out = AddFields(
+        {"tag": "{{event_type}}", "routing_key": "vector-{{event_type}}-{{user_id}}"}
+    ).apply(ev)
+    out = out.withColumn("tag", F.upper("tag"))
+    out = out.withColumn(
+        "shard", F.concat_ws("/", F.substring("event_type", 1, 3), F.col("user_id").cast("string"))
+    )
+    out = RenameFields({"event_id": "id"}).apply(out)
+    return RemoveFields(["ts", "value", "props", "user_id", "event_type"]).apply(out)
+
+
+# ---- transform #23 ansi_stripper (ansi_stripper.rs:56) ---------------
+
+
+@_q(
+    "ansi_stripper",
+    r"""
+    WITH colored AS (
+      SELECT doc_id, chr(27) || '[31m' || lang || chr(27) || '[0m' AS line
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(line, '\x1b\[[0-9;]*[A-Za-z]', '', 'g') AS clean
+    FROM colored
+    """,
+)
+def q_ansi_stripper(spark, sf):
+    from vector_spark.functions.strings import strip_ansi_escape_codes
+
+    docs = _t(spark, sf, "documents")
+    line = F.concat(F.lit("\x1b[31m"), F.col("lang"), F.lit("\x1b[0m"))
+    return docs.select("doc_id", strip_ansi_escape_codes(line).alias("clean"))
+
+
+# ---- §2.6 enrichment tables → broadcast hash join --------------------
+
+
+@_q(
+    "enrich_broadcast",
+    """
+    SELECT r.r_name AS region, count(*) AS n_customers,
+           round(avg(c.c_acctbal), 2) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_enrich_broadcast(spark, sf):
+    from vector_spark.enrich import EnrichmentTable
+
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    region = _t(spark, sf, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    et_nation = EnrichmentTable(nation, keys=["c_nationkey"])
+    et_region = EnrichmentTable(region, keys=["n_regionkey"])
+    enriched = et_region.enrich(et_nation.enrich(cust, how="inner"), how="inner")
+    return enriched.groupBy(F.col("r_name").alias("region")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+    )
+
+
+# ---- enrichment BetweenDates → broadcast range join ------------------
+
+
+@_q(
+    "enrich_range",
+    """
+    WITH brackets(bracket, lo, hi) AS (
+      VALUES ('small', 0.0, 10.0), ('mid', 10.0, 25.0), ('big', 25.0, 51.0))
+    SELECT b.bracket AS bracket, count(*) AS n,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN brackets b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.bracket
+    """,
+)
+def q_enrich_range(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    brackets = spark.createDataFrame(
+        [("small", 0.0, 10.0), ("mid", 10.0, 25.0), ("big", 25.0, 51.0)],
+        "bracket string, lo double, hi double",
+    )
+    joined = li.join(
+        F.broadcast(brackets),
+        on=(li.l_quantity >= brackets.lo) & (li.l_quantity < brackets.hi),
+        how="inner",
+    )
+    return joined.groupBy("bracket").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("revenue")
+    )
+
+
+# ---- transform #28 tag_cardinality_limit (first-seen, limit 3) -------
+
+
+@_q(
+    "tag_cardinality_limit",
+    """
+    WITH first_seen AS (
+      SELECT event_type, min(ts) AS fts FROM events GROUP BY event_type),
+    accepted AS (
+      SELECT event_type FROM (
+        SELECT event_type, row_number() OVER (ORDER BY fts, event_type) AS rk
+        FROM first_seen) WHERE rk <= 3)
+    SELECT e.event_id, e.event_type FROM events e
+    JOIN accepted a ON e.event_type = a.event_type
+    """,
+)
+def q_tag_cardinality(spark, sf):
+    from vector_spark.operators.tag_cardinality_limit import TagCardinalityLimit
+
+    ev = _t(spark, sf, "events")
+    out = TagCardinalityLimit("event_type", value_limit=3, action="drop_event").apply(ev)
+    return out.select("event_id", "event_type")
+
+
+# ---- transform #27 metric_to_log — non-SQL-expressible (JSON encode
+# formatting differs across engines); rows-only check ------------------
+
+
+@_q("metric_to_log")
+def q_metric_to_log(spark, sf):
+    from vector_spark.operators.log_to_metric import LogToMetric, MetricSpec
+    from vector_spark.operators.metric_to_log import MetricToLog
+
+    ev = _t(spark, sf, "events")
+    metrics = LogToMetric(
+        [MetricSpec(type="counter", field="value", name="event_value", increment_by_value=True,
+                    tags={"type": "{{event_type}}", "host": "h1"})]
+    ).apply(ev)
+    return MetricToLog().apply(metrics)
+
+
+# =====================================================================
+# Training-data pipeline ops (documents / embeddings)
+# =====================================================================
+
+
+# ---- exact dedup: hash-groupBy --------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    f"""
+    SELECT {_MD5_LONG_SQL.format(x="text")} AS text_hash,
+           min(doc_id) AS keeper, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy(_md5_long(F.col("text")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ---- document fingerprint --------------------------------------------
+
+
+@_q(
+    "fingerprint",
+    """
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select("doc_id", F.md5(normalized).alias("fp"))
+
+
+# ---- token counting ---------------------------------------------------
+
+
+@_q(
+    "token_count",
+    """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0))
+        ).alias("n_bpe_ish"),
+    )
+
+
+# ---- text quality scoring ---------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_SW_SQL = "('" + "','".join(_STOPWORDS) + "')"
+
+
+@_q(
+    "quality_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id,
+           len(ws) AS n_words,
+           round(n_chars / len(ws), 4) AS avg_word_len,
+           round(len(list_filter(ws, x -> x IN {_SW_SQL})) / len(ws), 4) AS stopword_ratio
+    FROM toks
+    """,
+)
+def q_quality_score(spark, sf):
+    docs = _t(spark, sf, "documents")
+    ws = F.split("text", " ")
+    n_words = F.size(ws)
+    sw = F.size(F.filter(ws, lambda x: x.isin(*_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.col("n_chars") / n_words, 4).alias("avg_word_len"),
+        F.round(sw / n_words, 4).alias("stopword_ratio"),
+    )
+
+
+# ---- language ID (stopword-hit heuristic) ------------------------------
+
+
+@_q(
+    "langid",
+    f"""
+    SELECT doc_id,
+           CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN {_SW_SQL})) >= 1
+                THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM documents
+    """,
+)
+def q_langid(spark, sf):
+    docs = _t(spark, sf, "documents")
+    hits = F.size(F.filter(F.split("text", " "), lambda x: x.isin(*_STOPWORDS)))
+    return docs.select(
+        "doc_id", F.when(hits >= 1, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred")
+    )
+
+
+# ---- embedding near-dup (cosine) ---------------------------------------
+
+
+@_q(
+    "embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+    """,
+)
+def q_embedding_neardup(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = _cosine(F.col("ea"), F.col("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.35)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+# ---- ANN: brute-force cosine top-k -------------------------------------
+
+
+@_q(
+    "ann_topk",
+    """
+    WITH queries AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    cands AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             list_cosine_similarity(q.embedding, c.embedding) AS cos
+      FROM queries q CROSS JOIN cands c)
+    SELECT qid, cid, round(cos, 4) AS cos FROM (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      FROM scored) WHERE rk <= 3
+    """,
+)
+def q_ann_topk(spark, sf):
+    from vector_spark.training.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter("vec_id < 5").select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    cands = emb.filter("vec_id >= 5").select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    out = brute_force_topk(queries, cands, k=3)
+    return out.select("qid", "cid", F.round("cos_raw", 4).alias("cos"))
+
+
+# ---- n-gram Jaccard near-dup -------------------------------------------
+
+
+@_q(
+    "ngram_jaccard",
+    """
+    WITH shingled AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS shingle
+      FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(i / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark, sf):
+    from vector_spark.training.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+# ---- MinHash signatures (portable md5-based permutations) --------------
+
+_MINHASH_SALTS = ["s0", "s1", "s2", "s3"]
+
+
+@_q(
+    "minhash_signature",
+    "WITH shingled AS (\n"
+    "  SELECT doc_id, unnest(list_distinct(list_transform(\n"
+    "           range(1, greatest(len(string_split(text,' ')) - 1, 1)),\n"
+    "           i -> string_split(text,' ')[i] || ' ' ||\n"
+    "                string_split(text,' ')[i+1] || ' ' ||\n"
+    "                string_split(text,' ')[i+2]))) AS shingle\n"
+    "  FROM documents)\n"
+    "SELECT doc_id, "
+    + ", ".join(
+        "min({h}) AS h{i}".format(h=_MD5_LONG_SQL.format(x=f"'{s}' || shingle"), i=i)
+        for i, s in enumerate(_MINHASH_SALTS)
+    )
+    + " FROM shingled GROUP BY doc_id",
+)
+def q_minhash_signature(spark, sf):
+    from vector_spark.training.dedup import minhash_signatures
+
+    docs = _t(spark, sf, "documents")
+    return minhash_signatures(docs, n=3, salts=_MINHASH_SALTS)
+
+
+# ---- SimHash (16-bit, portable) ----------------------------------------
+
+
+@_q(
+    "simhash",
+    "WITH toks AS (\n"
+    "  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok\n"
+    "  FROM documents),\n"
+    "hashed AS (SELECT doc_id, "
+    + _MD5_LONG_SQL.format(x="tok")
+    + " AS h FROM toks)\n"
+    "SELECT doc_id, "
+    + " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    + " AS simhash FROM hashed GROUP BY doc_id",
+)
+def q_simhash(spark, sf):
+    from vector_spark.training.dedup import simhash
+
+    docs = _t(spark, sf, "documents")
+    return simhash(docs, bits=16)
+
+
+# =====================================================================
+# Relational sanity (classic OLAP shapes through the same engine)
+# =====================================================================
+
+
+@_q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps)
+    SELECT user_id, sess_id, count(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def q_sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("n_events"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

