@@ -1,0 +1,120 @@
+"""Parser goldens (FIXTURES F2, Vector behavior-test pattern)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from vector_spark.functions.grok import expand, grok_extract
+
+
+def test_grok_expand_basic():
+    rx, caps = expand("%{TIMESTAMP_ISO8601:timestamp} %{LOGLEVEL:level} %{GREEDYDATA:msg}")
+    assert [c[0] for c in caps] == ["timestamp", "level", "msg"]
+    import re
+
+    m = re.match(rx, "2026-01-01T00:00:12Z info worker=7 processed doc")
+    assert m and m.group(2) == "info" and m.group(3) == "worker=7 processed doc"
+
+
+def test_grok_typed_captures():
+    rx, caps = expand("%{WORD:w} %{INT:n:int}")
+    assert caps == [("w", None), ("n", "int")]
+
+
+def test_grok_unknown_pattern():
+    with pytest.raises(KeyError):
+        expand("%{NOPE:x}")
+
+
+def test_parse_stage_golden(spark, corpus):
+    """All four formats normalize to the ground-truth severity/component."""
+    from vector_spark.plans.pipeline import parse_stage
+
+    p = parse_stage(corpus)
+    bad = p.filter(
+        ~F.col("parse_ok")
+        | (F.col("severity") != F.col("true_severity"))
+        | (F.col("component") != F.col("true_component"))
+        | F.col("event_ts").isNull()
+        | (F.col("latency_ms_parsed") != F.col("latency_ms"))
+    )
+    assert bad.count() == 0
+
+
+def test_parse_failure_passthrough(spark):
+    """drop_on_error=false: the original row passes unchanged with null
+    outputs (remap.rs:134-173)."""
+    from vector_spark.plans.pipeline import parse_stage
+
+    df = spark.createDataFrame(
+        [("g1", "totally not a log line", 3)], "doc_id string, message string, n_tok int"
+    )
+    out = parse_stage(df).collect()[0]
+    assert out["severity"] is None and not out["parse_ok"]
+    assert out["message"] == "totally not a log line" and out["n_tok"] == 3
+
+
+def test_parse_grok_function(spark):
+    df = spark.createDataFrame([("2026-01-01T00:00:12Z info hello",)], "line string")
+    caps = grok_extract(F.col("line"), "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:lvl} %{GREEDYDATA:m}")
+    row = df.select(*[c.alias(n) for n, c in caps.items()]).collect()[0]
+    assert row["lvl"] == "info" and row["m"] == "hello"
+
+
+def test_parse_key_value(spark):
+    from vector_spark.functions.parse import parse_key_value
+
+    df = spark.createDataFrame([('a=1 b=x c="q v"',)], "line string")
+    m = df.select(parse_key_value(F.col("line")).alias("m")).collect()[0]["m"]
+    assert m["a"] == "1" and m["b"] == "x"
+
+
+def test_parse_apache(spark):
+    from vector_spark.functions.parse import parse_apache_log
+
+    line = '10.0.0.1 - frank [01/Jan/2026:00:00:12 +0000] "GET /api/v1/docs HTTP/1.1" 200 2326'
+    df = spark.createDataFrame([(line,)], "line string")
+    caps = parse_apache_log(F.col("line"))
+    row = df.select(*[c.alias(n) for n, c in caps.items()]).collect()[0]
+    assert row["method"] == "GET" and row["status"] == 200 and row["size"] == 2326
+    assert row["path"] == "/api/v1/docs" and row["user"] == "frank"
+
+
+def test_parse_syslog_5424(spark):
+    from vector_spark.functions.parse import parse_syslog
+
+    line = "<34>1 2026-01-01T00:00:12Z host1 app 123 MSGID - hello world"
+    df = spark.createDataFrame([(line,)], "line string")
+    caps = parse_syslog(F.col("line"))
+    row = df.select(*[c.alias(n) for n, c in caps.items()]).collect()[0]
+    assert row["hostname"] == "host1" and row["appname"] == "app"
+    assert row["message"] == "hello world"
+
+
+def test_parse_duration_and_int(spark):
+    from vector_spark.functions.parse import parse_duration, parse_int
+
+    df = spark.createDataFrame([("300ms", "ff")], "d string, h string")
+    row = df.select(
+        parse_duration(F.col("d")).alias("secs"), parse_int(F.col("h"), base=16).alias("n")
+    ).collect()[0]
+    assert abs(row["secs"] - 0.3) < 1e-9 and row["n"] == 255
+
+
+def test_ip_functions(spark):
+    from vector_spark.functions.ip import ip_aton, ip_cidr_contains, ip_ntoa, ip_subnet
+
+    df = spark.createDataFrame([("10.1.2.3",), ("192.168.0.7",), ("bogus",)], "ip string")
+    rows = df.select(
+        "ip",
+        ip_aton(F.col("ip")).alias("n"),
+        ip_cidr_contains(F.col("ip"), "10.0.0.0/8").alias("in10"),
+        ip_subnet(F.col("ip"), 24).alias("net"),
+    ).collect()
+    byip = {r["ip"]: r for r in rows}
+    assert byip["10.1.2.3"]["n"] == (10 << 24) + (1 << 16) + (2 << 8) + 3
+    assert byip["10.1.2.3"]["in10"] and not byip["192.168.0.7"]["in10"]
+    assert byip["192.168.0.7"]["net"] == "192.168.0.0"
+    assert byip["bogus"]["n"] is None and not byip["bogus"]["in10"]
+    # round-trip
+    rt = df.filter("ip != 'bogus'").select(ip_ntoa(ip_aton(F.col("ip"))).alias("rt"), "ip")
+    assert rt.filter("rt != ip").count() == 0

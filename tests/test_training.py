@@ -1,0 +1,128 @@
+"""Training-data ops: dedup, similarity, text, multimodal plumbing."""
+
+import pyspark.sql.functions as F
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (4, "completely different text about spark engines here"),
+        (5, "a b"),  # degenerate: shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup(spark):
+    from vector_spark.training.dedup import drop_exact_duplicates, exact_duplicates
+
+    docs = _docs(spark)
+    groups = {r["keeper"]: r["n_copies"] for r in exact_duplicates(docs).collect()}
+    assert groups[1] == 2 and groups[3] == 1
+    kept = {r["doc_id"] for r in drop_exact_duplicates(docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_ngram_jaccard(spark):
+    from vector_spark.training.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0  # near dup
+    assert not any({a, b} == {1, 4} for a, b in pairs)
+
+
+def test_minhash_lsh_recall(spark):
+    from vector_spark.training.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark), n=3, salts=["s0", "s1", "s2", "s3"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, bands=[["h0", "h1"], ["h2", "h3"]]).collect()
+    }
+    assert (1, 2) in pairs  # exact dups always collide
+    assert not any({a, b} == {1, 4} for a, b in pairs)  # unrelated don't
+
+
+def test_simhash_properties(spark):
+    from vector_spark.training.dedup import hamming_near_pairs, simhash
+
+    sh = simhash(_docs(spark), bits=16)
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert vals[1] == vals[2]  # identical text → identical fingerprint
+    assert all(0 <= v < (1 << 16) for v in vals.values())
+    near = {(r["id_a"], r["id_b"]) for r in hamming_near_pairs(sh, max_dist=3).collect()}
+    assert (1, 2) in near
+
+
+def test_brute_force_topk_vs_numpy(spark):
+    import numpy as np
+
+    from vector_spark.training.similarity import brute_force_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = emb.filter("vec_id < 2").select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    c = emb.filter("vec_id >= 2").select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    got = {
+        (r["qid"], r["cid"]) for r in brute_force_topk(q, c, k=3).collect()
+    }
+    # numpy reference
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    expected = set()
+    for qid in range(2):
+        order = sorted(range(2, 20), key=lambda c: (-sims[qid, c], c))[:3]
+        expected |= {(qid, c) for c in order}
+    assert got == expected
+
+
+def test_lsh_topk_shapes(spark):
+    import numpy as np
+
+    from vector_spark.training.similarity import lsh_topk
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = emb.filter("vec_id < 3").select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    c = emb.filter("vec_id >= 3").select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    out = lsh_topk(q, c, dim=8, k=3, n_planes=4).collect()
+    assert all(r["cos_raw"] <= 1.0001 for r in out)
+    assert len({r["qid"] for r in out}) <= 3  # LSH may miss buckets; never invents
+
+
+def test_text_features(spark):
+    from vector_spark.training.text import langid, quality_features, token_count
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zzz qqq xxx")], "doc_id int, text string"
+    )
+    feats = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert feats[1]["q_n_words"] == 6 and feats[1]["q_stopword_ratio"] > 0.3
+    lang = {r["doc_id"]: r["l"] for r in df.select("doc_id", langid(F.col("text")).alias("l")).collect()}
+    assert lang == {1: "en", 2: "unk"}
+    assert df.select(token_count(F.col("text")).alias("n")).collect()[0]["n"] == 6
+
+
+def test_multimodal_plumbing(spark):
+    from vector_spark.training.multimodal import extract_features, frame_sample, synthetic_media
+
+    media = synthetic_media(spark, 30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r["feature"])
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert again == first
+    frames = frame_sample(media, every_n=50)
+    assert frames.filter(F.col("frame_idx") % 50 != 0).count() == 0

@@ -127,7 +127,7 @@ def grok_extract(col: Column, pattern: str, patterns: dict[str, str] | None = No
         c = F.regexp_extract(col, rx, idx)
         c = F.when(c == "", F.lit(None)).otherwise(c)
         if typ in GROK_TYPES:
-            c = c.cast(GROK_TYPES[typ])
+            c = c.try_cast(GROK_TYPES[typ])
         out[name] = c
     return out
 

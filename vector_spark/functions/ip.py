@@ -15,7 +15,8 @@ def ip_aton(col: Column) -> Column:
     """dotted-quad string → uint32 as long (NULL on malformed input)."""
     parts = F.split(col, r"\.")
     valid = (F.size(parts) == 4) & col.rlike(r"^(\d{1,3}\.){3}\d{1,3}$")
-    octets = [F.get(parts, i).cast("long") for i in range(4)]
+    # try_cast: ANSI mode (Spark 4 default) would throw on junk input
+    octets = [F.get(parts, i).try_cast("long") for i in range(4)]
     in_range = F.lit(True)
     for o in octets:
         in_range = in_range & (o >= 0) & (o <= 255)

@@ -117,14 +117,14 @@ def parse_timestamp(col: Column, fmt: str | None = None) -> Column:
 def parse_int(col: Column, base: int = 10) -> Column:
     """VRL parse_int: base 10 → try_cast; other bases → conv()."""
     if base == 10:
-        return col.cast("long")
-    return F.conv(col, base, 10).cast("long")
+        return col.try_cast("long")
+    return F.conv(col, base, 10).try_cast("long")
 
 
 def parse_duration(col: Column, unit: str = "s") -> Column:
     """VRL parse_duration: '300ms' / '2s' / '5m' / '1h' → number in
     ``unit`` seconds-family. Pure expression: split magnitude/suffix."""
-    mag = F.regexp_extract(col, r"^([0-9.]+)", 1).cast("double")
+    mag = F.regexp_extract(col, r"^([0-9.]+)", 1).try_cast("double")
     suffix = F.regexp_extract(col, r"([a-zµ]+)$", 1)
     to_secs = (
         F.when(suffix == "ns", mag / 1e9)
@@ -144,7 +144,7 @@ def parse_url(col: Column) -> Column:
     return F.struct(
         F.parse_url(col, F.lit("PROTOCOL")).alias("scheme"),
         F.parse_url(col, F.lit("HOST")).alias("host"),
-        F.parse_url(col, F.lit("PORT")).cast("int").alias("port"),
+        F.parse_url(col, F.lit("PORT")).try_cast("int").alias("port"),
         F.parse_url(col, F.lit("PATH")).alias("path"),
         F.parse_url(col, F.lit("QUERY")).alias("query"),
         F.parse_url(col, F.lit("REF")).alias("fragment"),

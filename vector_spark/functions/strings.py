@@ -119,11 +119,11 @@ def to_bool(col: Column) -> Column:
 
 
 def to_int(col: Column) -> Column:
-    return col.cast("long")
+    return col.try_cast("long")
 
 
 def to_float(col: Column) -> Column:
-    return col.cast("double")
+    return col.try_cast("double")
 
 
 def to_string(col: Column) -> Column:

@@ -95,7 +95,7 @@ class Coercer(Transform):
                     else F.try_to_timestamp(F.col(field))
                 )
             else:
-                col = F.col(field).cast(self.TYPE_MAP[typ])
+                col = F.col(field).try_cast(self.TYPE_MAP[typ])
             df = df.withColumn(field, col)
         if self.drop_unspecified:
             df = df.select(*self.types.keys())

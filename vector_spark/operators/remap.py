@@ -85,7 +85,7 @@ class GrokParser(Remap):
         captures = grok_mod.grok_extract(F.col(field), pattern, patterns)
         for name, typ in (types or {}).items():
             if name in captures:
-                captures[name] = captures[name].cast(typ)
+                captures[name] = captures[name].try_cast(typ)
         super().__init__(
             outputs=captures,
             success=grok_mod.grok_matches(F.col(field), pattern, patterns),
@@ -114,7 +114,7 @@ class RegexParser(Remap):
                     branches.append(F.when(col.rlike(rx) & (c != ""), c))
             outputs[name] = F.coalesce(*branches) if len(branches) > 1 else branches[0]
             if types and name in types:
-                outputs[name] = outputs[name].cast(types[name])
+                outputs[name] = outputs[name].try_cast(types[name])
         super().__init__(outputs=outputs, success=any_match, drop_on_error=drop_failed)
 
 
@@ -158,7 +158,7 @@ class Tokenizer(Remap):
             c = F.get(toks, i)
             c = F.when(c == "-", F.lit(None)).otherwise(F.regexp_replace(c, r'^"|"$', ""))
             if types and name in types:
-                c = c.cast(types[name])
+                c = c.try_cast(types[name])
             outputs[name] = c
         super().__init__(outputs=outputs, success=F.size(toks) > 0)
         self._drop_field = drop_field
@@ -179,6 +179,6 @@ class Split(Remap):
         for i, name in enumerate(field_names):
             c = F.get(parts, i)
             if types and name in types:
-                c = c.cast(types[name])
+                c = c.try_cast(types[name])
             outputs[name] = c
         super().__init__(outputs=outputs, success=F.size(parts) > 0)
