@@ -180,10 +180,11 @@ def run_pipeline(
                     f"{out_dir}/lane={name}/data"
                 )
                 agg.write.mode("overwrite").parquet(f"{out_dir}/lane={name}/metrics")
-                result.lane_counts[name] = spark.read.parquet(f"{out_dir}/lane={name}/data").count()
-                result.metrics[name] = sorted(
-                    map(tuple, spark.read.parquet(f"{out_dir}/lane={name}/metrics").collect())
-                )
+                # counts come from the (small) metric table, not a sink
+                # re-read: an empty lane writes no parquet footers at all
+                rows = agg.collect()
+                result.lane_counts[name] = sum(r["n_events"] for r in rows)
+                result.metrics[name] = sorted((r["source"], r["severity"], r["n_events"], r["sum_n_tok"]) for r in rows)
             else:
                 rows = agg.collect()
                 result.lane_counts[name] = sum(r["n_events"] for r in rows)
