@@ -489,7 +489,9 @@ def q_enrich_broadcast(spark, sf):
     """,
 )
 def q_enrich_range(spark, sf):
-    li = _t(spark, sf, "lineitem")
+    # repartition: the theta-join's stream side is a single-row-group
+    # file; without this the whole broadcast-nested-loop runs one task
+    li = _t(spark, sf, "lineitem").repartition("l_orderkey")
     brackets = spark.createDataFrame(
         [("small", 0.0, 10.0), ("mid", 10.0, 25.0), ("big", 25.0, 51.0)],
         "bracket string, lo double, hi double",
@@ -670,23 +672,11 @@ def q_langid(spark, sf):
     """,
 )
 def q_embedding_neardup(spark, sf):
+    from vector_spark.training.similarity import all_pairs_neardup
+
     emb = _t(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    cos = _cosine(F.col("ea"), F.col("eb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.35)
-        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
-    )
-
-
-def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    pairs = all_pairs_neardup(emb, threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
 
 
 # ---- ANN: brute-force cosine top-k -------------------------------------

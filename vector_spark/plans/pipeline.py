@@ -166,6 +166,11 @@ def run_pipeline(
     if enrichment is not None:
         et = EnrichmentTable(enrichment, keys=["source"])
         parsed = et.enrich(parsed)
+    if not out_dir:
+        # metrics-only run: nothing downstream reads the token arrays or
+        # the raw message, so keep them out of the persisted fan-out copy
+        # (the cache then holds kilobytes per partition, not the corpus)
+        parsed = parsed.drop("tokens", "message")
 
     # fan-out reads `parsed` once per lane; persist so parse+enrich run once
     parsed = parsed.persist()

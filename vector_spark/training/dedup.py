@@ -42,7 +42,15 @@ def drop_exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str =
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, shingle) rows: distinct n-word shingles per document.
     Degenerate docs (< n words) contribute their first-words shingle,
-    mirroring the oracle's greatest(len-1, 1) guard."""
+    mirroring the oracle's greatest(len-1, 1) guard.
+
+    The input is repartitioned first: shingling is compute-dense (HOF
+    transform + array_distinct + explode), and a single-row-group
+    parquet scan would otherwise pin the whole map side to one task.
+    One cheap shuffle of the raw text buys full-width parallelism on
+    the expensive stage — the standard move whenever compute-per-byte
+    is high relative to scan width."""
+    docs = docs.repartition(id_col)
     ws = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)]))
@@ -124,7 +132,7 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
     is the sign of sum(±1) over tokens' hash-bit j. Expressed as one
     explode + one groupBy with `bits` conditional sums — fully
     map-side-combinable, no window functions."""
-    toks = docs.select(
+    toks = docs.repartition(id_col).select(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
     )
     h = md5_long(F.col("tok"))
