@@ -791,6 +791,373 @@ def q_simhash(spark, sf):
     return simhash(docs, bits=16)
 
 
+# ---- transform #12 logfmt_parser (logfmt_parser.rs:15-66) ------------
+
+
+@_q(
+    "logfmt_parser",
+    r"""
+    WITH lines AS (
+      SELECT event_id,
+             'level=' || lower(event_type) || ' latency_ms=' || user_id || ' msg="okdone"' AS line
+      FROM events)
+    SELECT event_id,
+           regexp_extract(line, 'level=(\S+)', 1) AS level,
+           CAST(regexp_extract(line, 'latency_ms=(\S+)', 1) AS BIGINT) AS latency_ms,
+           'okdone' AS msg
+    FROM lines
+    """,
+)
+def q_logfmt_parser(spark, sf):
+    from vector_spark.functions.parse import parse_logfmt
+
+    ev = _t(spark, sf, "events")
+    line = F.concat(
+        F.lit("level="), F.lower("event_type"),
+        F.lit(" latency_ms="), F.col("user_id"),
+        F.lit(' msg="okdone"'),
+    )
+    m = parse_logfmt(line)
+    return ev.select(
+        "event_id",
+        F.element_at(m, "level").alias("level"),
+        F.element_at(m, "latency_ms").cast("long").alias("latency_ms"),
+        F.element_at(m, "msg").alias("msg"),
+    )
+
+
+# ---- transform #15 split (split.rs:16-102) ---------------------------
+
+
+@_q(
+    "split_parser",
+    """
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS f0,
+           string_split(text, ' ')[2] AS f1,
+           string_split(text, ' ')[3] AS f2
+    FROM documents
+    """,
+)
+def q_split_parser(spark, sf):
+    docs = _t(spark, sf, "documents")
+    parts = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.get(parts, 0).alias("f0"),
+        F.get(parts, 1).alias("f1"),
+        F.get(parts, 2).alias("f2"),
+    )
+
+
+# ---- transform #16 csv parser (parse_csv.rs:8) -----------------------
+
+
+@_q(
+    "csv_parser",
+    """
+    WITH lines AS (
+      SELECT event_id, event_type || ',' || user_id || ',' || round(value,2) AS line
+      FROM events)
+    SELECT event_id,
+           string_split(line, ',')[1] AS etype,
+           CAST(string_split(line, ',')[2] AS BIGINT) AS uid,
+           round(CAST(string_split(line, ',')[3] AS DOUBLE), 2) AS val
+    FROM lines
+    """,
+)
+def q_csv_parser(spark, sf):
+    from vector_spark.functions.parse import parse_csv
+
+    ev = _t(spark, sf, "events")
+    line = F.concat_ws(",", F.col("event_type"), F.col("user_id"), F.round("value", 2))
+    parsed = parse_csv(line, "etype string, uid bigint, val double")
+    return ev.select(
+        "event_id",
+        parsed["etype"].alias("etype"),
+        parsed["uid"].alias("uid"),
+        F.round(parsed["val"], 2).alias("val"),
+    )
+
+
+# ---- transform #25-adjacent: IP functions & CIDR conditions ----------
+# (geoip's lookup side is enrich_broadcast/enrich_range; the IP math —
+# VRL ip_aton/ip_ntoa/ip_cidr_contains, check_fields ip_cidr_contains —
+# is pure integer-mask expressions, no UDF)
+
+
+@_q(
+    "ip_functions",
+    """
+    WITH ips AS (
+      SELECT event_id,
+             '10.' || (user_id % 256) || '.' || (event_id % 256) || '.7' AS ip,
+             user_id % 256 AS o2, event_id % 256 AS o3
+      FROM events)
+    SELECT event_id, ip,
+           10 * 16777216 + o2 * 65536 + o3 * 256 + 7 AS ip_int,
+           ip AS roundtrip,
+           (o2 >= 128) AS in_cidr
+    FROM ips
+    """,
+)
+def q_ip_functions(spark, sf):
+    from vector_spark.functions.ip import ip_aton, ip_cidr_contains, ip_ntoa
+
+    ev = _t(spark, sf, "events")
+    ip = F.concat(
+        F.lit("10."), F.pmod("user_id", F.lit(256)), F.lit("."), F.pmod("event_id", F.lit(256)), F.lit(".7")
+    )
+    with_ip = ev.select("event_id", ip.alias("ip"))
+    return with_ip.select(
+        "event_id",
+        "ip",
+        ip_aton(F.col("ip")).alias("ip_int"),
+        ip_ntoa(ip_aton(F.col("ip"))).alias("roundtrip"),
+        ip_cidr_contains(F.col("ip"), "10.128.0.0/9").alias("in_cidr"),
+    )
+
+
+# ---- §2.4 VRL string/crypto function pack ----------------------------
+
+
+@_q(
+    "vrl_strings",
+    r"""
+    SELECT doc_id,
+           substr(text, 1, 20) AS truncated,
+           substr(text, 6, 10) AS sliced,
+           md5(upper(text)) AS digest,
+           sha256(text) AS digest2,
+           regexp_replace(text, '[0-9]+', '[REDACTED]', 'g') AS redacted
+    FROM documents
+    """,
+)
+def q_vrl_strings(spark, sf):
+    from vector_spark.functions.strings import redact, sha2_, slice_, truncate, upcase
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        truncate(F.col("text"), 20).alias("truncated"),
+        slice_(F.col("text"), 5, 15).alias("sliced"),
+        F.md5(upcase(F.col("text"))).alias("digest"),
+        sha2_(F.col("text"), 256).alias("digest2"),
+        redact(F.col("text"), [r"[0-9]+"]).alias("redacted"),
+    )
+
+
+# ---- §2.4 parse_url / parse_query_string -----------------------------
+
+
+@_q(
+    "url_parser",
+    """
+    WITH urls AS (
+      SELECT event_id,
+             'https://h' || (user_id % 5) || '.example.com:8443/api/v1/' || event_type
+               || '?q=' || user_id || '&x=1#frag' AS url,
+             user_id, event_type
+      FROM events)
+    SELECT event_id,
+           'https' AS scheme,
+           'h' || (user_id % 5) || '.example.com' AS host,
+           8443 AS port,
+           '/api/v1/' || event_type AS path,
+           'q=' || user_id || '&x=1' AS query,
+           'frag' AS fragment,
+           CAST(user_id AS VARCHAR) AS q_param
+    FROM urls
+    """,
+)
+def q_url_parser(spark, sf):
+    from vector_spark.functions.parse import parse_query_string, parse_url
+
+    ev = _t(spark, sf, "events")
+    url = F.concat(
+        F.lit("https://h"), F.pmod("user_id", F.lit(5)), F.lit(".example.com:8443/api/v1/"),
+        F.col("event_type"), F.lit("?q="), F.col("user_id"), F.lit("&x=1#frag"),
+    )
+    u = parse_url(url)
+    qs = parse_query_string(u["query"])
+    return ev.select(
+        "event_id",
+        u["scheme"].alias("scheme"),
+        u["host"].alias("host"),
+        u["port"].alias("port"),
+        u["path"].alias("path"),
+        u["query"].alias("query"),
+        u["fragment"].alias("fragment"),
+        F.element_at(qs, "q").alias("q_param"),
+    )
+
+
+# ---- transform #24 merge (partial-event reassembly, merge.rs:18-148) -
+
+
+@_q(
+    "merge_partials",
+    """
+    WITH marked AS (
+      SELECT 'h' || (user_id % 20) AS stream, event_id, event_type,
+             (event_id % 3 != 0) AS _partial
+      FROM events),
+    segged AS (
+      SELECT *, sum(CASE WHEN NOT _partial THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY stream ORDER BY event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS seg
+      FROM marked)
+    SELECT stream, string_agg(event_type, '' ORDER BY event_id) AS event_type,
+           max(event_id) AS event_id, count(*) AS n_parts
+    FROM segged WHERE seg > 0
+    GROUP BY stream, seg
+    HAVING max(CASE WHEN NOT _partial THEN 1 ELSE 0 END) = 1
+    """,
+)
+def q_merge_partials(spark, sf):
+    from vector_spark.operators.merge import MergePartials
+
+    ev = _t(spark, sf, "events")
+    marked = ev.select(
+        F.concat(F.lit("h"), F.pmod("user_id", F.lit(20))).alias("stream"),
+        "event_id",
+        "event_type",
+        (F.pmod("event_id", F.lit(3)) != 0).alias("_partial"),
+    )
+    merged = MergePartials(
+        merge_fields=["event_type"], stream_discriminant=["stream"], order_by="event_id"
+    ).apply(marked)
+    return merged.select("stream", "event_type", "event_id", "n_parts")
+
+
+# ---- transform #21 add_tags / remove_tags (metric tag maps) ----------
+
+
+@_q(
+    "tags_shaping",
+    """
+    SELECT event_id, 'prod' AS env, 'eu' AS region, CAST(NULL AS VARCHAR) AS type
+    FROM events
+    """,
+)
+def q_tags_shaping(spark, sf):
+    from vector_spark.operators.fields import AddTags, RemoveTags
+
+    ev = _t(spark, sf, "events")
+    tagged = ev.withColumn(
+        "tags",
+        F.create_map(F.lit("type"), F.col("event_type"), F.lit("region"), F.lit("us")),
+    )
+    tagged = AddTags({"env": "prod", "region": "eu"}, overwrite=True).apply(tagged)
+    tagged = RemoveTags(["type"]).apply(tagged)
+    return tagged.select(
+        "event_id",
+        F.element_at("tags", F.lit("env")).alias("env"),
+        F.element_at("tags", F.lit("region")).alias("region"),
+        F.element_at("tags", F.lit("type")).alias("type"),
+    )
+
+
+# ---- reduce merge strategies: Array / Concat / FlatUnique ------------
+
+
+@_q(
+    "reduce_collect",
+    """
+    SELECT user_id,
+           string_agg(event_type, ' ' ORDER BY event_id) AS types_concat,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_uniq,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def q_reduce_collect(spark, sf):
+    ev = _t(spark, sf, "events")
+    ordered = F.sort_array(
+        F.collect_list(F.struct(F.col("event_id").alias("o"), F.col("event_type").alias("v")))
+    )
+    vals = F.transform(ordered, lambda p: p["v"])
+    return ev.groupBy("user_id").agg(
+        F.array_join(vals, " ").alias("types_concat"),
+        F.array_join(F.array_sort(F.array_distinct(vals)), ",").alias("types_uniq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---- MinHash LSH banding: candidate pairs ----------------------------
+
+_SIGS_CTE = (
+    "WITH shingled AS (\n"
+    "  SELECT doc_id, unnest(list_distinct(list_transform(\n"
+    "           range(1, greatest(len(string_split(text,' ')) - 1, 1)),\n"
+    "           i -> string_split(text,' ')[i] || ' ' ||\n"
+    "                string_split(text,' ')[i+1] || ' ' ||\n"
+    "                string_split(text,' ')[i+2]))) AS shingle\n"
+    "  FROM documents),\n"
+    "sigs AS (SELECT doc_id, "
+    + ", ".join(
+        "min({h}) AS h{i}".format(h=_MD5_LONG_SQL.format(x=f"'{s}' || shingle"), i=i)
+        for i, s in enumerate(_MINHASH_SALTS)
+    )
+    + " FROM shingled GROUP BY doc_id)"
+)
+
+
+@_q(
+    "lsh_candidates",
+    _SIGS_CTE
+    + """
+    SELECT DISTINCT id_a, id_b FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a
+      JOIN sigs b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+      UNION ALL
+      SELECT a.doc_id, b.doc_id FROM sigs a
+      JOIN sigs b ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id)
+    """,
+)
+def q_lsh_candidates(spark, sf):
+    from vector_spark.training.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, n=3, salts=_MINHASH_SALTS)
+    return lsh_candidate_pairs(sigs, bands=[["h0", "h1"], ["h2", "h3"]])
+
+
+# ---- SimHash Hamming near-dup pairs ----------------------------------
+
+_SIMHASH_CTE = (
+    "WITH toks AS (\n"
+    "  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok\n"
+    "  FROM documents),\n"
+    "hashed AS (SELECT doc_id, "
+    + _MD5_LONG_SQL.format(x="tok")
+    + " AS h FROM toks),\n"
+    "sims AS (SELECT doc_id, "
+    + " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    + " AS simhash FROM hashed GROUP BY doc_id)"
+)
+
+
+@_q(
+    "hamming_neardup",
+    _SIMHASH_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+    """,
+)
+def q_hamming_neardup(spark, sf):
+    from vector_spark.training.dedup import hamming_near_pairs, simhash
+
+    docs = _t(spark, sf, "documents")
+    return hamming_near_pairs(simhash(docs, bits=16), max_dist=3, id_col="doc_id")
+
+
 # =====================================================================
 # Relational sanity (classic OLAP shapes through the same engine)
 # =====================================================================

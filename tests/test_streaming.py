@@ -1,0 +1,126 @@
+"""Structured Streaming operators: streaming results must equal the
+batch plan over the same data (micro-batch = repeated batch), and
+incremental runs over a growing directory must be exactly-once.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def stream_corpus(spark, tmp_path_factory):
+    from vector_spark.corpus import sequences
+
+    d = tmp_path_factory.mktemp("stream") / "corpus"
+    df = sequences(spark, 600, seed=11)
+    df.filter("fmt < 2").write.mode("overwrite").parquet(str(d / "batch1"))
+    df.filter("fmt >= 2").write.mode("overwrite").parquet(str(d / "batch2"))
+    return d, df.schema, df
+
+
+def _drain(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_aggregate_equals_batch(spark, stream_corpus):
+    from vector_spark.streaming import streaming_aggregate
+
+    d, schema, df = stream_corpus
+    stream = spark.readStream.schema(schema).parquet(str(d / "batch*"))
+    _drain(
+        streaming_aggregate(
+            stream, interval="1 hour", watermark="2 hours", keys=("source", "true_severity")
+        ),
+        "agg_t",
+    )
+
+    got = {
+        (r["window_start"], r["source"], r["true_severity"], r["n_events"], r["sum_n_tok"])
+        for r in spark.table("agg_t").collect()
+    }
+    want = {
+        tuple(r)
+        for r in df.groupBy(F.date_trunc("hour", "ts").alias("w"), "source", "true_severity")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_parse_aggregate_incremental_exactly_once(spark, stream_corpus, tmp_path):
+    """Run with a checkpoint over batch1 only, then again after batch2
+    appears: the final complete-mode table equals the batch pipeline
+    over everything, with no double counting."""
+    from vector_spark.plans.pipeline import run_pipeline
+    from vector_spark.streaming import streaming_parse_aggregate
+
+    d, schema, df = stream_corpus
+    live = tmp_path / "live"
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(live)
+    for f in os.listdir(d / "batch1"):
+        if f.endswith(".parquet"):
+            os.link(d / "batch1" / f, live / f)
+
+    def run(name):
+        out = streaming_parse_aggregate(spark, str(live), schema)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run("pipe_s1")
+    n1 = spark.table("pipe_s1").agg(F.sum("n_events")).collect()[0][0]
+
+    for f in os.listdir(d / "batch2"):
+        if f.endswith(".parquet"):
+            os.link(d / "batch2" / f, live / ("b2_" + f))
+    run("pipe_s2")
+
+    lane_counts = {
+        r["lane"]: r["n"]
+        for r in spark.table("pipe_s2").groupBy("lane").agg(F.sum("n_events").alias("n")).collect()
+    }
+    batch = run_pipeline(spark, df, enrichment=None)
+    assert lane_counts == batch.lane_counts
+    assert n1 < sum(lane_counts.values())  # first run saw only batch1
+
+
+def test_streaming_dedupe_drops_in_horizon_dupes(spark, tmp_path):
+    from vector_spark.streaming import streaming_dedupe
+
+    src = tmp_path / "dups"
+    df = spark.createDataFrame(
+        [("k1", "2026-01-01 00:00:00"), ("k1", "2026-01-01 00:00:05"), ("k2", "2026-01-01 00:00:01")],
+        "k string, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    df.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("k string, ts timestamp").parquet(str(src))
+    out = streaming_dedupe(stream, match=("k",), watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("dedup_s").collect()
+    assert sorted(r["k"] for r in rows) == ["k1", "k2"]

@@ -144,7 +144,10 @@ def parse_url(col: Column) -> Column:
     return F.struct(
         F.parse_url(col, F.lit("PROTOCOL")).alias("scheme"),
         F.parse_url(col, F.lit("HOST")).alias("host"),
-        F.parse_url(col, F.lit("PORT")).try_cast("int").alias("port"),
+        # Spark's parse_url has no PORT part key — split it off AUTHORITY
+        F.regexp_extract(F.parse_url(col, F.lit("AUTHORITY")), r":(\d+)$", 1)
+        .try_cast("int")
+        .alias("port"),
         F.parse_url(col, F.lit("PATH")).alias("path"),
         F.parse_url(col, F.lit("QUERY")).alias("query"),
         F.parse_url(col, F.lit("REF")).alias("fragment"),

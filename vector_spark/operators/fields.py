@@ -137,9 +137,15 @@ class AddTags(Transform):
 
     def apply(self, df: DataFrame) -> DataFrame:
         new = F.create_map(*[x for k, v in self.tags.items() for x in (F.lit(k), F.lit(v))])
+        keys = F.array(*[F.lit(k) for k in self.tags])
         old = F.col(self.tags_col)
-        # map_concat keeps the LAST duplicate key → order encodes overwrite
-        merged = F.map_concat(old, new) if self.overwrite else F.map_concat(new, old)
+        # drop colliding keys from the losing side before map_concat so
+        # the result never has duplicates (independent of the session's
+        # spark.sql.mapKeyDedupPolicy)
+        if self.overwrite:
+            merged = F.map_concat(F.map_filter(old, lambda k, _: ~F.array_contains(keys, k)), new)
+        else:
+            merged = F.map_concat(old, F.map_filter(new, lambda k, _: ~F.map_contains_key(old, k)))
         return df.withColumn(self.tags_col, merged)
 
 

@@ -157,7 +157,9 @@ def run_pipeline(
 ) -> PipelineResult:
     """Execute the full topology. If out_dir is set, lanes land as
     parquet partitioned by source (the Iceberg-layout stand-in) and the
-    per-sink metric tables beside them; otherwise counts only (bench)."""
+    per-sink metric tables beside them; otherwise metrics-only, computed
+    in a SINGLE pass (tagged route → one two-phase aggregation) — no
+    persist, no per-lane jobs, one shuffle of partial aggregates."""
     from vector_spark.enrich import EnrichmentTable
     from vector_spark.operators.route import Route
 
@@ -166,34 +168,55 @@ def run_pipeline(
     if enrichment is not None:
         et = EnrichmentTable(enrichment, keys=["source"])
         parsed = et.enrich(parsed)
-    if not out_dir:
-        # metrics-only run: nothing downstream reads the token arrays or
-        # the raw message, so keep them out of the persisted fan-out copy
-        # (the cache then holds kilobytes per partition, not the corpus)
-        parsed = parsed.drop("tokens", "message")
 
-    # fan-out reads `parsed` once per lane; persist so parse+enrich run once
+    router = Route(lanes(), with_unmatched=with_unmatched)
+
+    if not out_dir:
+        # single-pass metrics: explode matched-lane tags, then aggregate
+        # (lane, source, severity) with an optional salted first phase.
+        # The corpus is read once; only partial-agg rows ever shuffle.
+        tagged = router.tagged(parsed.drop("tokens", "message"))
+        keys = ["lane", "source", "severity"]
+        if salted:
+            salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(16)).alias("__salt")
+            partial = tagged.groupBy(*keys, salt).agg(
+                F.count(F.lit(1)).alias("pn"), F.sum("n_tok").alias("pt")
+            )
+            final = partial.groupBy(*keys).agg(
+                F.sum("pn").alias("n_events"), F.sum("pt").alias("sum_n_tok")
+            )
+        else:
+            final = tagged.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias("n_events"), F.sum("n_tok").alias("sum_n_tok")
+            )
+        result = PipelineResult()
+        for r in final.collect():
+            result.lane_counts[r["lane"]] = result.lane_counts.get(r["lane"], 0) + r["n_events"]
+            result.metrics.setdefault(r["lane"], []).append(
+                (r["source"], r["severity"], r["n_events"], r["sum_n_tok"])
+            )
+        for lane in result.metrics:
+            result.metrics[lane].sort()
+        result.wall_secs = time.time() - t0
+        return result
+
+    # sink mode: fan-out reads `parsed` once per lane; persist so
+    # parse+enrich run once across the K lane writes
     parsed = parsed.persist()
     try:
-        router = Route(lanes(), with_unmatched=with_unmatched)
         routed = router.apply(parsed)
         result = PipelineResult()
         for name, lane_df in routed.items():
             agg = salted_sink_aggregate(lane_df) if salted else sink_aggregate(lane_df)
-            if out_dir:
-                lane_df.drop("parse_ok").write.mode("overwrite").partitionBy("source").parquet(
-                    f"{out_dir}/lane={name}/data"
-                )
-                agg.write.mode("overwrite").parquet(f"{out_dir}/lane={name}/metrics")
-                # counts come from the (small) metric table, not a sink
-                # re-read: an empty lane writes no parquet footers at all
-                rows = agg.collect()
-                result.lane_counts[name] = sum(r["n_events"] for r in rows)
-                result.metrics[name] = sorted((r["source"], r["severity"], r["n_events"], r["sum_n_tok"]) for r in rows)
-            else:
-                rows = agg.collect()
-                result.lane_counts[name] = sum(r["n_events"] for r in rows)
-                result.metrics[name] = sorted((r["source"], r["severity"], r["n_events"], r["sum_n_tok"]) for r in rows)
+            lane_df.drop("parse_ok").write.mode("overwrite").partitionBy("source").parquet(
+                f"{out_dir}/lane={name}/data"
+            )
+            agg.write.mode("overwrite").parquet(f"{out_dir}/lane={name}/metrics")
+            # counts come from the (small) metric table, not a sink
+            # re-read: an empty lane writes no parquet footers at all
+            rows = agg.collect()
+            result.lane_counts[name] = sum(r["n_events"] for r in rows)
+            result.metrics[name] = sorted((r["source"], r["severity"], r["n_events"], r["sum_n_tok"]) for r in rows)
         result.wall_secs = time.time() - t0
         return result
     finally:

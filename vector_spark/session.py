@@ -45,6 +45,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # pin GC parallelism to the task parallelism: the JVM defaults GC
+        # threads to the HOST's logical cores (32 here), which thrashes a
+        # local[N<32] run during frequent young collections
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ParallelGCThreads={max(2, min(int(cpus), 8))} -XX:ConcGCThreads=2",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # map_concat overwrite semantics for add_tags (last write wins)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

@@ -1,0 +1,81 @@
+"""Structured Streaming forms of the stateful operators.
+
+Vector's stateful transforms are all timeout-flushed in-memory maps:
+`aggregate` drains its series map every interval_ms
+(/root/reference/src/transforms/aggregate.rs:18-26, 110-143), `dedupe`
+keeps an LRU of seen keys (/root/reference/src/transforms/dedupe.rs:
+33-58), `reduce` expires groups after expire_after_ms
+(/root/reference/src/transforms/reduce/mod.rs:26-43). Spark expresses
+the same contracts declaratively: tumbling `window()` aggregation with
+a watermark replaces the flush interval, `dropDuplicatesWithinWatermark`
+replaces the LRU (bounded state with an explicit lateness horizon
+instead of an event-count cap), and session_window replaces
+reduce's gap timeout.
+
+At scale the streaming job is the same plan as the batch job — the
+micro-batch engine just runs it repeatedly with state in the state
+store; watermarks bound that state so a 10^12-sequence firehose doesn't
+accumulate unbounded series state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_aggregate(
+    events: DataFrame,
+    interval: str = "10 seconds",
+    watermark: str = "30 seconds",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("source", "severity"),
+) -> DataFrame:
+    """Vector `aggregate`: tumbling-interval roll-up per metric series.
+    The flush interval becomes the window; late events inside the
+    watermark still land in their window (Vector would have dropped
+    them into the NEXT flush — strictly better semantics)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, interval).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("n_tok").alias("sum_n_tok"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "sum_n_tok")
+    )
+
+
+def streaming_dedupe(
+    events: DataFrame,
+    match: tuple[str, ...],
+    watermark: str = "30 seconds",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Vector `dedupe` with a time-bounded instead of count-bounded
+    cache: duplicates of a key arriving within the watermark horizon are
+    dropped; state is evicted automatically past it."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(match))
+
+
+def streaming_parse_aggregate(
+    spark,
+    input_dir: str,
+    schema: str,
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The flagship topology as a stream: file-source → parse → route
+    (tagged single-pass) → windowed per-lane aggregate. Feed it to
+    .writeStream with trigger(availableNow=True) for incremental batch
+    over a growing directory — the Spark analogue of Vector's file
+    source checkpointing (lib/file-source/src/checkpointer.rs)."""
+    from vector_spark.operators.route import Route
+    from vector_spark.plans.pipeline import lanes, parse_stage
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    parsed = parse_stage(stream).drop("tokens", "message")
+    tagged = Route(lanes(), with_unmatched=True).tagged(parsed)
+    return (
+        tagged.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", interval).alias("w"), "lane", "source", "severity")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("n_tok").alias("sum_n_tok"))
+        .select(F.col("w.start").alias("window_start"), "lane", "source", "severity", "n_events", "sum_n_tok")
+    )
