@@ -1158,6 +1158,123 @@ def q_hamming_neardup(spark, sf):
     return hamming_near_pairs(simhash(docs, bits=16), max_dist=3, id_col="doc_id")
 
 
+# ---- §2.4 parse_apache_log (vendor format, grok-expanded) ------------
+
+
+@_q(
+    "apache_log_parser",
+    """
+    WITH lines AS (
+      SELECT event_id,
+             '10.0.' || (user_id % 256) || '.9 - user' || user_id
+               || ' [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] "GET /api/v1/'
+               || event_type || ' HTTP/1.1" ' || (200 + (user_id % 5) * 100)
+               || ' ' || (event_id % 10000) AS line,
+             user_id, event_type, event_id AS eid, ts
+      FROM events)
+    SELECT event_id,
+           '10.0.' || (user_id % 256) || '.9' AS client,
+           'user' || user_id AS username,
+           epoch_us(date_trunc('second', ts)) AS ts_us,
+           'GET' AS method,
+           '/api/v1/' || event_type AS path,
+           200 + (user_id % 5) * 100 AS status,
+           eid % 10000 AS size
+    FROM lines
+    """,
+)
+def q_apache_log_parser(spark, sf):
+    from vector_spark.functions.parse import parse_apache_log
+
+    ev = _t(spark, sf, "events")
+    line = F.concat(
+        F.lit("10.0."), F.pmod("user_id", F.lit(256)), F.lit(".9 - user"), F.col("user_id"),
+        F.lit(" ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(' +0000] "GET /api/v1/'),
+        F.col("event_type"), F.lit(' HTTP/1.1" '),
+        (F.lit(200) + F.pmod("user_id", F.lit(5)) * 100),
+        F.lit(" "), F.pmod("event_id", F.lit(10000)),
+    )
+    p = parse_apache_log(line)
+    return ev.select(
+        "event_id",
+        p["host"].alias("client"),
+        p["user"].alias("username"),
+        F.unix_micros(p["timestamp"]).alias("ts_us"),
+        p["method"].alias("method"),
+        p["path"].alias("path"),
+        p["status"].alias("status"),
+        p["size"].alias("size"),
+    )
+
+
+# ---- §2.4 parse_syslog (RFC 5424) ------------------------------------
+
+
+@_q(
+    "syslog_parser",
+    """
+    WITH lines AS (
+      SELECT event_id,
+             '<165>1 2026-08-17T10:00:00Z h' || (user_id % 97) || ' ' || event_type
+               || ' ' || user_id || ' ID47 - done job' AS line,
+             user_id, event_type
+      FROM events)
+    SELECT event_id,
+           165 AS priority,
+           'h' || (user_id % 97) AS hostname,
+           event_type AS appname,
+           CAST(user_id AS VARCHAR) AS procid,
+           'done job' AS body
+    FROM lines
+    """,
+)
+def q_syslog_parser(spark, sf):
+    from vector_spark.functions.parse import parse_syslog
+
+    ev = _t(spark, sf, "events")
+    line = F.concat(
+        F.lit("<165>1 2026-08-17T10:00:00Z h"), F.pmod("user_id", F.lit(97)), F.lit(" "),
+        F.col("event_type"), F.lit(" "), F.col("user_id"), F.lit(" ID47 - done job"),
+    )
+    p = parse_syslog(line)
+    return ev.select(
+        "event_id",
+        p["priority"].cast("int").alias("priority"),
+        p["hostname"].alias("hostname"),
+        p["appname"].alias("appname"),
+        p["procid"].alias("procid"),
+        p["message"].alias("body"),
+    )
+
+
+# ---- log_to_metric histogram/summary shapes: exact percentiles -------
+
+
+@_q(
+    "metric_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_metric_quantiles(spark, sf):
+    ev = _t(spark, sf, "events")
+    # exact interpolated percentiles (matches quantile_cont); the
+    # at-scale variant is percentile_approx (t-digest sketch) with a
+    # documented error bound — same plan shape, mergeable partials
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
 # =====================================================================
 # Relational sanity (classic OLAP shapes through the same engine)
 # =====================================================================

@@ -54,9 +54,22 @@ HEADLINE = [
     "ann_topk",
     "pricing_summary",
     "sessionize",
+    "logfmt_parser",
+    "csv_parser",
+    "ip_functions",
+    "url_parser",
+    "apache_log_parser",
+    "syslog_parser",
+    "merge_partials",
+    "lsh_candidates",
+    "hamming_neardup",
+    "metric_quantiles",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))
+# best-of-N per query: the sandbox VM suffers multi-second hypervisor
+# pauses; a single sample can be 5-10x inflated. 2 keeps bench time sane.
+REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 
 
 def force(df) -> None:
@@ -83,9 +96,12 @@ def main() -> int:
     headline = [q for q in HEADLINE if not only or q in only]
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.time()
-        force(queries[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.time()
+            force(queries[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # flagship pipeline throughput on the synthetic tokenized-log corpus.
     # Materialize the corpus first (untimed): the timed section measures

@@ -184,7 +184,8 @@ def parse_apache_log(col: Column) -> dict[str, Column]:
     """VRL parse_apache_log / parse_common_log
     (lib/vrl/stdlib/src/parse_apache_log.rs:9) via grok expansion."""
     out = _grok.grok_extract(col, APACHE_COMMON_GROK)
-    out["timestamp"] = F.try_to_timestamp(out["timestamp"], F.lit("dd/MMM/yyyy:HH:mm:ss"))
+    # HTTPDATE captures the timezone offset too ("17/Aug/2026:10:00:00 +0000")
+    out["timestamp"] = F.try_to_timestamp(out["timestamp"], F.lit("dd/MMM/yyyy:HH:mm:ss Z"))
     return out
 
 

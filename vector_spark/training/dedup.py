@@ -64,8 +64,12 @@ def ngram_jaccard_pairs(
 
     Correct but O(pairs-sharing-a-shingle) — the verification/baseline
     path. At corpus scale use minhash_signatures + lsh_candidate_pairs
-    to cut candidate generation to banded buckets."""
-    sh = shingles(docs, n, text_col, id_col)
+    to cut candidate generation to banded buckets.
+
+    The shingle set feeds three plan branches (two join sides + sizes);
+    persist it so the explode runs once. At corpus scale you'd write it
+    to a bucketed table instead of caching."""
+    sh = shingles(docs, n, text_col, id_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -111,7 +115,10 @@ def lsh_candidate_pairs(
     """LSH banding: docs sharing ANY band (all hashes in the band equal)
     become a candidate pair. `bands` is a list of signature-column
     groups, e.g. [["h0","h1"],["h2","h3"]]. Shuffles (band_key, id) —
-    linear in corpus size, no cross-join."""
+    linear in corpus size, no cross-join. Signatures are persisted:
+    every band reads them twice (both join sides), and recomputing the
+    MinHash per branch would multiply the shingling cost by 2×bands."""
+    signatures = signatures.persist()
     pair_sets = []
     for band_cols in bands:
         key = F.xxhash64(*[F.col(c) for c in band_cols])
