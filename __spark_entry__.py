@@ -1275,6 +1275,91 @@ def q_metric_quantiles(spark, sf):
     )
 
 
+# ---- IVF ANN (exact when nprobe == n_cells → brute-force oracle) -----
+
+
+@_q(
+    "ivf_topk",
+    """
+    WITH queries AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    cands AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             list_cosine_similarity(q.embedding, c.embedding) AS cos
+      FROM queries q CROSS JOIN cands c)
+    SELECT qid, cid, round(cos, 4) AS cos FROM (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      FROM scored) WHERE rk <= 3
+    """,
+)
+def q_ivf_topk(spark, sf):
+    from vector_spark.training.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter("vec_id < 5").select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    cands = emb.filter("vec_id >= 5").select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    # nprobe == n_cells probes every cell → exact, same result as brute
+    # force; pytest covers the approximate (nprobe < n_cells) recall
+    out = ivf_topk(queries, cands, k=3, n_cells=8, nprobe=8)
+    return out.select("qid", "cid", F.round("cos_raw", 4).alias("cos"))
+
+
+# ---- aws_cloudwatch_logs_subscription_parser (multi-event emission) --
+
+
+@_q(
+    "cloudwatch_parser",
+    """
+    SELECT e.event_id, 'lg-' || (e.user_id % 10) AS log_group,
+           e.event_id * 2 + j.j AS le_id,
+           'm' || j.j || '-' || e.event_id AS le_message
+    FROM events e CROSS JOIN (VALUES (0), (1)) AS j(j)
+    """,
+)
+def q_cloudwatch_parser(spark, sf):
+    from vector_spark.functions.parse import parse_cloudwatch_subscription
+
+    ev = _t(spark, sf, "events")
+    envelope = F.format_string(
+        '{"messageType":"DATA_MESSAGE","owner":"123","logGroup":"lg-%d","logStream":"ls",'
+        '"subscriptionFilters":["f1"],"logEvents":['
+        '{"id":%d,"timestamp":1700000000,"message":"m0-%d"},'
+        '{"id":%d,"timestamp":1700000001,"message":"m1-%d"}]}',
+        F.pmod("user_id", F.lit(10)),
+        F.col("event_id") * 2, F.col("event_id"),
+        F.col("event_id") * 2 + 1, F.col("event_id"),
+    )
+    parsed = parse_cloudwatch_subscription(envelope)
+    le = F.explode(parsed["logEvents"]).alias("le")
+    return ev.select("event_id", parsed["logGroup"].alias("log_group"), le).select(
+        "event_id", "log_group", F.col("le.id").alias("le_id"), F.col("le.message").alias("le_message")
+    )
+
+
+# ---- VRL encode group: base64 round-trip -----------------------------
+
+
+@_q(
+    "base64_codec",
+    """
+    SELECT doc_id, base64(encode(text)) AS b64,
+           (decode(from_base64(base64(encode(text)))) = text) AS roundtrip_ok
+    FROM documents
+    """,
+)
+def q_base64_codec(spark, sf):
+    from vector_spark.functions.strings import decode_base64, encode_base64
+
+    docs = _t(spark, sf, "documents")
+    b64 = encode_base64(F.col("text"))
+    return docs.select(
+        "doc_id",
+        b64.alias("b64"),
+        (decode_base64(b64) == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
 # =====================================================================
 # Relational sanity (classic OLAP shapes through the same engine)
 # =====================================================================

@@ -126,3 +126,24 @@ def test_multimodal_plumbing(spark):
     assert again == first
     frames = frame_sample(media, every_n=50)
     assert frames.filter(F.col("frame_idx") % 50 != 0).count() == 0
+
+
+def test_ivf_topk_exact_and_recall(spark):
+    """nprobe == n_cells must equal brute force exactly; nprobe=2/8
+    trades recall for a ~4x smaller scored set but keeps recall high."""
+    from vector_spark.training.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 10").select(
+        emb.vec_id.alias("qid"), emb.embedding.alias("qe")
+    )
+    c = emb.filter("vec_id >= 10").select(
+        emb.vec_id.alias("cid"), emb.embedding.alias("ce")
+    )
+    exact = {(r["qid"], r["cid"]) for r in brute_force_topk(q, c, k=5).collect()}
+    ivf_exact = {(r["qid"], r["cid"]) for r in ivf_topk(q, c, k=5, n_cells=8, nprobe=8).collect()}
+    assert ivf_exact == exact
+
+    approx = {(r["qid"], r["cid"]) for r in ivf_topk(q, c, k=5, n_cells=8, nprobe=3).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, recall

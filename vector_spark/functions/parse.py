@@ -195,3 +195,20 @@ def parse_syslog(col: Column) -> dict[str, Column]:
     s3164 = _grok.grok_extract(col, SYSLOG_3164_GROK)
     keys = set(s5424) | set(s3164)
     return {k: F.coalesce(s5424.get(k, F.lit(None)), s3164.get(k, F.lit(None))) for k in keys}
+
+
+CLOUDWATCH_SUBSCRIPTION_SCHEMA = (
+    "messageType string, owner string, logGroup string, logStream string, "
+    "subscriptionFilters array<string>, "
+    "logEvents array<struct<id:long, timestamp:long, message:string>>"
+)
+
+
+def parse_cloudwatch_subscription(col: Column) -> Column:
+    """The aws_cloudwatch_logs_subscription_parser transform
+    (/root/reference/src/transforms/aws_cloudwatch_logs_subscription_parser.rs:1-241):
+    one subscription envelope fans out to one event per logEvents entry.
+    Returns the parsed struct; callers `explode(parsed.logEvents)` for
+    the multi-event emission (the same explode() shape that backs VRL
+    remap's set-`.`-to-an-array multi-emit)."""
+    return F.from_json(col, CLOUDWATCH_SUBSCRIPTION_SCHEMA)

@@ -199,3 +199,28 @@ def compact(col: Column) -> Column:
 
 def flatten_(col: Column) -> Column:
     return F.flatten(col)
+
+
+# ---------------------------------------------------------------- encode group
+
+
+def encode_base64(col: Column) -> Column:
+    """VRL encode_base64 — RFC 4648, no wrapping. Spark's base64 can
+    emit MIME \r\n chunking (legacy.chunkBase64String); strip it so
+    output is canonical regardless of session config."""
+    return F.regexp_replace(F.base64(col.cast("binary")), "\r\n", "")
+
+
+def decode_base64(col: Column) -> Column:
+    return F.unbase64(col).cast("string")
+
+
+def encode_json_obj(cols: dict[str, Column]) -> Column:
+    """VRL encode_json over a flat object."""
+    return F.to_json(F.struct(*[c.alias(k) for k, c in cols.items()]))
+
+
+def encode_logfmt(cols: dict[str, Column]) -> Column:
+    """VRL encode_logfmt: 'k=v k2=v2' in given key order."""
+    parts = [F.concat(F.lit(f"{k}="), c.cast("string")) for k, c in cols.items()]
+    return F.concat_ws(" ", *parts)

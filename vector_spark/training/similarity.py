@@ -192,3 +192,89 @@ def cosine_pandas_udf():
         return pd.Series(num / den)
 
     return _cos
+
+
+# ---------------------------------------------------------------- IVF
+
+
+def ivf_centroids(df, n_cells: int, id_col: str, vec_col: str):
+    """Deterministic coarse quantizer: the centroid set is the n_cells
+    rows with the smallest xxhash64(id) — reproducible across runs and
+    engines, no RNG, no iterative training. (Lloyd refinement would
+    drop in here; for bucketing quality at scale the hash-sampled seed
+    set is already serviceable.)"""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    mat = np.array([r[1] for r in rows], dtype=np.float32)
+    nrm = np.sqrt((mat * mat).sum(axis=1, dtype=np.float64))
+    return mat, nrm
+
+
+def ivf_assign(df, centroids, nprobe: int, id_col: str, vec_col: str) -> DataFrame:
+    """Attach the ``nprobe`` nearest cells to every row (one output row
+    per (id, cell)). Arrow-batched; the centroid matrix is broadcast.
+    At 10^12 scale the assignment output is what you'd write as the
+    partition/bucket column of the index table."""
+    import numpy as np
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    id_dtype = [f.dataType.simpleString() for f in df.schema.fields if f.name == id_col][0]
+    schema = f"{id_col} {id_dtype}, {vec_col} array<float>, cell int"
+
+    def assign(batches):
+        mat, nrm = bc.value
+        for pdf in batches:
+            ids, vecs, cells = [], [], []
+            for i, v in zip(pdf[id_col].to_numpy(), pdf[vec_col]):
+                va = np.asarray(v, dtype=np.float32)
+                dots = (mat * va).sum(axis=1, dtype=np.float64)
+                cos = dots / (np.sqrt((va * va).sum(dtype=np.float64)) * nrm)
+                top = np.argsort(-cos)[:nprobe]
+                for c in top:
+                    ids.append(i)
+                    vecs.append(v)
+                    cells.append(int(c))
+            yield pd.DataFrame({id_col: ids, vec_col: vecs, "cell": cells})
+
+    return df.repartition(id_col).select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    q_id: str = "qid",
+    q_vec: str = "qe",
+    c_id: str = "cid",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """IVF approximate top-k: candidates are bucketed by nearest
+    centroid (1 cell each); each query probes its ``nprobe`` nearest
+    cells; only same-cell pairs are scored. Exact when
+    nprobe == n_cells (every cell probed → identical to brute force).
+    The 100 TB shape: the candidate assignment is a one-off index build
+    written bucketed-by-cell; per query batch only nprobe/n_cells of the
+    corpus shuffles into scoring."""
+    cents = ivf_centroids(candidates, n_cells, c_id, c_vec)
+    cand_cells = ivf_assign(candidates, cents, 1, c_id, c_vec)
+    q_cells = ivf_assign(queries, cents, nprobe, q_id, q_vec)
+
+    dot_udf = dot_pandas_udf()
+    cb = cand_cells.withColumn("_nc", norm(F.col(c_vec)))
+    qb = q_cells.withColumn("_nq", norm(F.col(q_vec)))
+    pairs = cb.join(F.broadcast(qb), on="cell")
+    scored = pairs.select(
+        q_id, c_id, (dot_udf(F.col(q_vec), F.col(c_vec)) / (F.col("_nq") * F.col("_nc"))).alias("cos_raw")
+    ).dropDuplicates([q_id, c_id])
+    w = Window.partitionBy(q_id).orderBy(F.col("cos_raw").desc(), F.col(c_id))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
