@@ -35,13 +35,17 @@ class MergePartials(Transform):
 
     def apply(self, df: DataFrame) -> DataFrame:
         is_final = ~F.coalesce(F.col(self.marker), F.lit(False))
+        # segment id: count of terminators from this row to stream end —
+        # all partials in a run share the id of their terminating final
+        # row. Expressed as a DESCENDING running sum: Spark executes
+        # [unboundedPreceding, currentRow] frames incrementally (O(n)),
+        # while the equivalent [currentRow, unboundedFollowing] frame
+        # re-scans the tail per row (O(n²) per partition).
         w = (
             Window.partitionBy(*self.discriminant)
-            .orderBy(F.col(self.order_by))
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col(self.order_by).desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        # segment id: count of terminators from this row to stream end —
-        # all partials in a run share the id of their terminating final row
         seg = F.sum(is_final.cast("long")).over(w)
         with_seg = df.withColumn("__seg", seg).withColumn("__final", is_final)
         ordered = F.sort_array(
