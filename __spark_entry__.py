@@ -163,6 +163,64 @@ def q_sample(spark, sf):
     return out.select("event_id", "user_id", "sample_rate")
 
 
+# ---- #4b sample with exclude bypass (sample.rs:107-138) --------------
+
+
+@_q(
+    "sample_exclude",
+    """
+    SELECT event_id, user_id, event_type, 10 AS sample_rate
+    FROM events WHERE user_id % 10 = 0 OR event_type = 'error'
+    """,
+)
+def q_sample_exclude(spark, sf):
+    from vector_spark.operators.sample import Sample
+
+    ev = _t(spark, sf, "events")
+    out = Sample(
+        rate=10, key_field="user_id", modulo=True, exclude=F.col("event_type") == "error"
+    ).apply(ev)
+    return out.select("event_id", "user_id", "event_type", "sample_rate")
+
+
+# ---- transform #22 concat (concat.rs:15-136) -------------------------
+
+
+@_q(
+    "concat_op",
+    """
+    SELECT event_id,
+           substr(event_type, 1, 3) || '~' || CAST(user_id AS VARCHAR)
+             || '~' || substr(props, 2, 4) AS combined
+    FROM events
+    """,
+)
+def q_concat_op(spark, sf):
+    from vector_spark.operators.fields import Concat
+
+    ev = _t(spark, sf, "events")
+    out = Concat(
+        "combined",
+        [("event_type", 0, 3), ("user_id", None, None), ("props", 1, 5)],
+        joiner="~",
+    ).apply(ev)
+    return out.select("event_id", "combined")
+
+
+# ---- transform #31 field_filter (field_filter.rs:9-16) ---------------
+
+
+@_q(
+    "field_filter",
+    "SELECT event_id, event_type FROM events WHERE event_type = 'purchase'",
+)
+def q_field_filter(spark, sf):
+    from vector_spark.functions.conditions import equals
+
+    ev = _t(spark, sf, "events")
+    return ev.filter(equals(F.col("event_type"), "purchase")).select("event_id", "event_type")
+
+
 # ---- transform #5 dedupe (src/transforms/dedupe.rs:155-163) ----------
 
 

@@ -79,3 +79,69 @@ def streaming_parse_aggregate(
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("n_tok").alias("sum_n_tok"))
         .select(F.col("w.start").alias("window_start"), "lane", "source", "severity", "n_events", "sum_n_tok")
     )
+
+
+def streaming_reduce_ends_when(
+    events,
+    group_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    terminator=None,
+    timeout_ms: int = 30_000,
+):
+    """Vector `reduce` with `ends_when` (condition-bounded collapse,
+    /root/reference/src/transforms/reduce/mod.rs:26-43, 221-257) and the
+    general custom-stateful contract behind the lua/runtime transforms
+    (/root/reference/lib/vector-core/src/transform/runtime_transform.rs):
+    arbitrary per-group state, 0..N emissions, timers.
+
+    Spark: applyInPandasWithState. State = (n, total) per group;
+    a terminator row closes the run and emits one merged event;
+    `timeout_ms` mirrors reduce's expire_after_ms for groups whose
+    terminator never arrives (processing-time timer flush).
+
+    Rows inside a micro-batch are sorted by ``order_col`` before
+    folding — Vector's ordering is arrival order within one stream,
+    which a shuffled group has to re-establish explicitly.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if terminator is None:
+        terminator = lambda pdf: pdf["event_type"] == "purchase"  # noqa: E731
+
+    out_schema = f"{group_col} long, n_events long, total double, closed_by string"
+    state_schema = "n long, total double"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (gid,) = key
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {group_col: [gid], "n_events": [n], "total": [total], "closed_by": ["timeout"]}
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            is_term = terminator(pdf)
+            for val, t in zip(pdf[value_col], is_term):
+                n += 1
+                total += float(val)
+                if t:
+                    out_rows.append((gid, n, total, "ends_when"))
+                    n, total = 0, 0.0
+        if n > 0:
+            state.update((n, total))
+            state.setTimeoutDuration(timeout_ms)
+        elif state.exists:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[group_col, "n_events", "total", "closed_by"])
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
