@@ -115,9 +115,11 @@ def main() -> int:
         shutil.rmtree(corpus_dir, ignore_errors=True)
         sequences(spark, PIPELINE_ROWS, seed=42).write.mode("overwrite").parquet(corpus_dir)
     corpus = spark.read.parquet(corpus_dir)
-    t0 = time.time()
-    run_pipeline(spark, corpus, enrichment=enrichment_table(spark), out_dir=None)
-    pipe_secs = time.time() - t0
+    pipe_secs = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.time()
+        run_pipeline(spark, corpus, enrichment=enrichment_table(spark), out_dir=None)
+        pipe_secs = min(pipe_secs, time.time() - t0)
     timings["pipeline"] = round(pipe_secs, 3)
 
     total = round(sum(timings.values()), 3)
