@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint", default=None, help="checkpoint dir for resumable partition loop")
     ap.add_argument("--no-salt", action="store_true", help="disable salted two-phase aggregation")
     ap.add_argument(
+        "--sink-layout",
+        choices=["fanout", "tagged"],
+        default="fanout",
+        help="fanout: one tree per lane (K write jobs); tagged: one pass, one table partitioned by (lane, source)",
+    )
+    ap.add_argument(
         "--warmup",
         action="store_true",
         help="run the pipeline once untimed first (JIT/codegen warmup, for benchmarking)",
@@ -61,7 +67,8 @@ def main(argv: list[str] | None = None) -> int:
             run_pipeline(spark, df, enrichment=enrich, out_dir=None, salted=not args.no_salt)
             t0 = time.time()
         result = run_pipeline(
-            spark, df, enrichment=enrich, out_dir=args.out, salted=not args.no_salt
+            spark, df, enrichment=enrich, out_dir=args.out, salted=not args.no_salt,
+            sink_layout=args.sink_layout,
         )
         pipeline_secs = result.wall_secs
     rows_in = args.rows if not args.input else df.count()

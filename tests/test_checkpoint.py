@@ -91,3 +91,35 @@ def test_checkpointed_totals_match_single_shot(spark, corpus_dir, tmp_path):
             pn, ps = merged.get(k, (0, 0))
             merged[k] = (pn + n, ps + s)
         assert sorted((k[0], k[1], v[0], v[1]) for k, v in merged.items()) == rows
+
+
+def test_tagged_sink_layout_equals_fanout(spark, tmp_path):
+    """One-pass partitioned write must produce the same routed-row sets
+    and per-sink metrics as the per-lane fan-out trees."""
+    import duckdb
+
+    from vector_spark.corpus import enrichment_table, sequences
+    from vector_spark.plans.pipeline import run_pipeline
+
+    df = sequences(spark, 600, seed=5)
+    enrich = enrichment_table(spark)
+    fan = run_pipeline(spark, df, enrich, out_dir=str(tmp_path / "fan"), sink_layout="fanout")
+    tag = run_pipeline(spark, df, enrich, out_dir=str(tmp_path / "tag"), sink_layout="tagged")
+    assert fan.lane_counts == tag.lane_counts
+    assert fan.metrics == tag.metrics
+
+    con = duckdb.connect()
+    for lane, n in fan.lane_counts.items():
+        fan_ids = {
+            r[0]
+            for r in con.sql(
+                f"SELECT doc_id FROM parquet_scan('{tmp_path}/fan/lane={lane}/data/source=*/*.parquet', hive_partitioning=0)"
+            ).fetchall()
+        }
+        tag_ids = {
+            r[0]
+            for r in con.sql(
+                f"SELECT doc_id FROM parquet_scan('{tmp_path}/tag/data/lane={lane}/source=*/*.parquet', hive_partitioning=0)"
+            ).fetchall()
+        }
+        assert fan_ids == tag_ids and len(fan_ids) == n, lane

@@ -1,0 +1,117 @@
+"""Property-style randomized tests (the reference's proptest layer,
+lib/vrl/proptests/ — SURVEY.md §5): seeded random corpora, one Spark
+job per property, expectations computed independently in Python.
+"""
+
+from __future__ import annotations
+
+import base64
+import random
+import string
+
+from pyspark.sql import functions as F
+
+
+def _rng():
+    return random.Random(20260817)
+
+
+def test_ip_aton_ntoa_roundtrip(spark):
+    from vector_spark.functions.ip import ip_aton, ip_ntoa
+
+    rng = _rng()
+    valid = [
+        ".".join(str(rng.randint(0, 255)) for _ in range(4)) for _ in range(300)
+    ]
+    invalid = ["256.1.1.1", "1.2.3", "a.b.c.d", "", "1.2.3.4.5", "999.999.999.999", "-1.2.3.4"]
+    df = spark.createDataFrame([(ip,) for ip in valid + invalid], "ip string")
+    got = {
+        r["ip"]: (r["n"], r["rt"])
+        for r in df.select(
+            "ip", ip_aton(F.col("ip")).alias("n"), ip_ntoa(ip_aton(F.col("ip"))).alias("rt")
+        ).collect()
+    }
+    for ip in valid:
+        a, b, c, d = map(int, ip.split("."))
+        expect = a * 16777216 + b * 65536 + c * 256 + d
+        assert got[ip] == (expect, ip), ip
+    for ip in invalid:
+        assert got[ip][0] is None, ip
+
+
+def test_base64_roundtrip(spark):
+    from vector_spark.functions.strings import decode_base64, encode_base64
+
+    rng = _rng()
+    alphabet = string.ascii_letters + string.digits + " éüλ→🙂\t{}[]\"'\\"
+    cases = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 200))) for _ in range(200)]
+    cases = list(dict.fromkeys(cases))  # unique keys for the lookup below
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    rows = df.select(
+        "s", encode_base64(F.col("s")).alias("b64"), decode_base64(encode_base64(F.col("s"))).alias("rt")
+    ).collect()
+    for r in rows:
+        assert r["rt"] == r["s"]
+        assert r["b64"] == base64.b64encode(r["s"].encode()).decode()
+
+
+def test_key_value_parse_recovers_pairs(spark):
+    from vector_spark.functions.parse import parse_key_value
+
+    rng = _rng()
+    cases = []
+    for _ in range(150):
+        n = rng.randint(1, 8)
+        pairs = {
+            "".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(1, 10))): "".join(
+                rng.choice(string.ascii_letters + string.digits + "_-./:") for _ in range(rng.randint(1, 15))
+            )
+            for _ in range(n)
+        }
+        line = " ".join(f"{k}={v}" for k, v in pairs.items())
+        cases.append((line, pairs))
+    df = spark.createDataFrame([(l,) for l, _ in cases], "line string")
+    got = {r["line"]: r["m"] for r in df.select("line", parse_key_value(F.col("line")).alias("m")).collect()}
+    for line, pairs in cases:
+        assert got[line] == pairs, line
+
+
+def test_grok_number_word_roundtrip(spark):
+    from vector_spark.functions.grok import grok_extract
+
+    rng = _rng()
+    cases = []
+    for _ in range(150):
+        w = "".join(rng.choice(string.ascii_letters) for _ in range(rng.randint(1, 12)))
+        i = rng.randint(-10**9, 10**9)
+        f = round(rng.uniform(-1e6, 1e6), rng.randint(0, 6))
+        cases.append((f"{w} {i} {f:.6f}", w, i, f))
+    df = spark.createDataFrame([(c[0],) for c in cases], "line string")
+    caps = grok_extract(F.col("line"), "^%{WORD:w} %{INT:i:int} %{NUMBER:f:float}$")
+    got = {
+        r["line"]: (r["w"], r["i"], r["f"])
+        for r in df.select("line", caps["w"].alias("w"), caps["i"].alias("i"), caps["f"].alias("f")).collect()
+    }
+    for line, w, i, f in cases:
+        gw, gi, gf = got[line]
+        assert gw == w and gi == i and abs(gf - f) < 1e-6, line
+
+
+def test_truncate_slice_match_python(spark):
+    from vector_spark.functions.strings import slice_, truncate
+
+    rng = _rng()
+    cases = list(
+        dict.fromkeys(
+            "".join(rng.choice(string.printable[:94]) for _ in range(rng.randint(0, 60))) for _ in range(150)
+        )
+    )
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    rows = df.select(
+        "s",
+        truncate(F.col("s"), 10).alias("t10"),
+        slice_(F.col("s"), 3, 8).alias("s38"),
+    ).collect()
+    for r in rows:
+        assert r["t10"] == r["s"][:10]
+        assert r["s38"] == r["s"][3:8]

@@ -117,19 +117,20 @@ def sink_aggregate(lane_df: DataFrame) -> DataFrame:
     )
 
 
-def salted_sink_aggregate(lane_df: DataFrame, buckets: int = 16) -> DataFrame:
+def salted_sink_aggregate(lane_df: DataFrame, buckets: int = 16, extra_keys: list[str] | None = None) -> DataFrame:
     """Two-phase salted aggregation for the Zipf-hot `source` key
     (SURVEY.md §7 step 7): salt → partial agg (spreads the hot key over
     `buckets` reducers) → final agg on the tiny partial table. For
     algebraic aggs Spark's map-side combine already bounds reducer skew;
     the salted form is the general pattern for when partial agg can't
     help (collect-heavy or high-cardinality-amplified keys)."""
+    keys = list(extra_keys or []) + ["source", "severity"]
     salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(buckets)).alias("__salt")
-    partial = lane_df.groupBy("source", "severity", salt).agg(
+    partial = lane_df.groupBy(*keys, salt).agg(
         F.count(F.lit(1)).alias("pn"),
         F.sum("n_tok").alias("pt"),
     )
-    return partial.groupBy("source", "severity").agg(
+    return partial.groupBy(*keys).agg(
         F.sum("pn").alias("n_events"),
         F.sum("pt").alias("sum_n_tok"),
     )
@@ -154,12 +155,25 @@ def run_pipeline(
     out_dir: str | None = None,
     salted: bool = True,
     with_unmatched: bool = True,
+    sink_layout: str = "fanout",
 ) -> PipelineResult:
-    """Execute the full topology. If out_dir is set, lanes land as
-    parquet partitioned by source (the Iceberg-layout stand-in) and the
-    per-sink metric tables beside them; otherwise metrics-only, computed
-    in a SINGLE pass (tagged route → one two-phase aggregation) — no
-    persist, no per-lane jobs, one shuffle of partial aggregates."""
+    """Execute the full topology.
+
+    out_dir=None → metrics-only, computed in a SINGLE pass (tagged route
+    → one two-phase aggregation): no persist, no per-lane jobs, one
+    shuffle of partial aggregates.
+
+    out_dir set → routed rows land as parquet (Iceberg-layout stand-in)
+    plus per-sink metric tables, in one of two layouts:
+      - ``fanout`` (default): one independent tree per lane
+        (`lane=<x>/{data,metrics}`) from a persisted parse — Vector's
+        separate-sinks contract verbatim; K write jobs.
+      - ``tagged``: ONE pass writes a single table partitioned by
+        (lane, source) plus one metrics table — same routed rows
+        (multi-match rows appear once per matching lane partition), but
+        the corpus is scanned once and nothing is persisted. The right
+        shape when all sinks share a format at 100 TB.
+    """
     from vector_spark.enrich import EnrichmentTable
     from vector_spark.operators.route import Route
 
@@ -170,6 +184,28 @@ def run_pipeline(
         parsed = et.enrich(parsed)
 
     router = Route(lanes(), with_unmatched=with_unmatched)
+
+    if out_dir and sink_layout == "tagged":
+        tagged = router.tagged(parsed).drop("parse_ok")
+        tagged.write.mode("overwrite").partitionBy("lane", "source").parquet(f"{out_dir}/data")
+        agg = (
+            salted_sink_aggregate(tagged, extra_keys=["lane"])
+            if salted
+            else tagged.groupBy("lane", "source", "severity").agg(
+                F.count(F.lit(1)).alias("n_events"), F.sum("n_tok").alias("sum_n_tok")
+            )
+        )
+        agg.write.mode("overwrite").partitionBy("lane").parquet(f"{out_dir}/metrics")
+        result = PipelineResult()
+        for r in agg.collect():
+            result.lane_counts[r["lane"]] = result.lane_counts.get(r["lane"], 0) + r["n_events"]
+            result.metrics.setdefault(r["lane"], []).append(
+                (r["source"], r["severity"], r["n_events"], r["sum_n_tok"])
+            )
+        for lane in result.metrics:
+            result.metrics[lane].sort()
+        result.wall_secs = time.time() - t0
+        return result
 
     if not out_dir:
         # single-pass metrics: explode matched-lane tags, then aggregate
