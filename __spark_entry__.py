@@ -1418,6 +1418,160 @@ def q_base64_codec(spark, sf):
     )
 
 
+# ---- §2.4 parse_glog / parse_nginx_log / parse_aws_vpc_flow_log ------
+
+
+@_q(
+    "glog_parser",
+    r"""
+    WITH lines AS (
+      SELECT event_id,
+             'I0817 10:00:01.' || lpad(CAST(event_id % 1000000 AS VARCHAR), 6, '0')
+               || '  ' || user_id || ' worker.cc:' || (event_id % 500) || '] handled '
+               || event_type AS line,
+             user_id, event_type, event_id AS eid
+      FROM events)
+    SELECT event_id, 'info' AS level, 8 AS month, 17 AS day,
+           user_id AS pid, 'worker.cc' AS file, eid % 500 AS line_no,
+           'handled ' || event_type AS body
+    FROM lines
+    """,
+)
+def q_glog_parser(spark, sf):
+    from vector_spark.functions.parse import parse_glog
+
+    ev = _t(spark, sf, "events")
+    line = F.concat(
+        F.lit("I0817 10:00:01."),
+        F.lpad(F.pmod("event_id", F.lit(1000000)).cast("string"), 6, "0"),
+        F.lit("  "), F.col("user_id"), F.lit(" worker.cc:"),
+        F.pmod("event_id", F.lit(500)), F.lit("] handled "), F.col("event_type"),
+    )
+    p = parse_glog(line)
+    return ev.select(
+        "event_id",
+        p["level"].alias("level"),
+        p["month"].alias("month"),
+        p["day"].alias("day"),
+        p["pid"].alias("pid"),
+        p["file"].alias("file"),
+        p["line"].alias("line_no"),
+        p["message"].alias("body"),
+    )
+
+
+@_q(
+    "nginx_error_parser",
+    """
+    WITH lines AS (
+      SELECT event_id,
+             '2026/08/17 10:00:00 [error] ' || user_id || '#0: *' || event_id
+               || ' upstream timed out for ' || event_type AS line,
+             user_id, event_type, event_id AS eid
+      FROM events)
+    SELECT event_id, epoch_us(TIMESTAMP '2026-08-17 10:00:00') AS ts_us,
+           'error' AS severity, user_id AS pid, 0 AS tid, eid AS cid,
+           'upstream timed out for ' || event_type AS body
+    FROM lines
+    """,
+)
+def q_nginx_error_parser(spark, sf):
+    from vector_spark.functions.parse import parse_nginx_error_log
+
+    ev = _t(spark, sf, "events")
+    line = F.concat(
+        F.lit("2026/08/17 10:00:00 [error] "), F.col("user_id"), F.lit("#0: *"),
+        F.col("event_id"), F.lit(" upstream timed out for "), F.col("event_type"),
+    )
+    p = parse_nginx_error_log(line)
+    return ev.select(
+        "event_id",
+        F.unix_micros(p["timestamp"]).alias("ts_us"),
+        p["severity"].alias("severity"),
+        p["pid"].alias("pid"),
+        p["tid"].alias("tid"),
+        p["cid"].alias("cid"),
+        p["message"].alias("body"),
+    )
+
+
+@_q(
+    "vpc_flow_parser",
+    """
+    WITH lines AS (
+      SELECT event_id,
+             '2 12345 eni-' || user_id || ' 10.0.0.1 10.0.0.2 ' || (event_id % 65536)
+               || ' 443 6 10 840 1600000000 1600000060 ACCEPT OK' AS line,
+             user_id, event_id AS eid
+      FROM events)
+    SELECT event_id, 2 AS version, 'eni-' || user_id AS interface_id,
+           '10.0.0.1' AS srcaddr, eid % 65536 AS srcport, 443 AS dstport,
+           6 AS protocol, 840 AS n_bytes, 'ACCEPT' AS action
+    FROM lines
+    """,
+)
+def q_vpc_flow_parser(spark, sf):
+    from vector_spark.functions.parse import parse_aws_vpc_flow_log
+
+    ev = _t(spark, sf, "events")
+    line = F.concat(
+        F.lit("2 12345 eni-"), F.col("user_id"), F.lit(" 10.0.0.1 10.0.0.2 "),
+        F.pmod("event_id", F.lit(65536)), F.lit(" 443 6 10 840 1600000000 1600000060 ACCEPT OK"),
+    )
+    p = parse_aws_vpc_flow_log(line)
+    return ev.select(
+        "event_id",
+        p["version"].alias("version"),
+        p["interface_id"].alias("interface_id"),
+        p["srcaddr"].alias("srcaddr"),
+        p["srcport"].alias("srcport"),
+        p["dstport"].alias("dstport"),
+        p["protocol"].alias("protocol"),
+        p["bytes"].alias("n_bytes"),
+        p["action"].alias("action"),
+    )
+
+
+# ---- AggregatedHistogram bucket-wise merge (metric.rs:680+) ----------
+
+
+@_q(
+    "histogram_merge",
+    """
+    SELECT event_type,
+           sum(CASE WHEN least(CAST(floor(value / 20) AS INT), 4) = 0 THEN 1 ELSE 0 END) AS b0,
+           sum(CASE WHEN least(CAST(floor(value / 20) AS INT), 4) = 1 THEN 1 ELSE 0 END) AS b1,
+           sum(CASE WHEN least(CAST(floor(value / 20) AS INT), 4) = 2 THEN 1 ELSE 0 END) AS b2,
+           sum(CASE WHEN least(CAST(floor(value / 20) AS INT), 4) = 3 THEN 1 ELSE 0 END) AS b3,
+           sum(CASE WHEN least(CAST(floor(value / 20) AS INT), 4) = 4 THEN 1 ELSE 0 END) AS b4,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_histogram_merge(spark, sf):
+    ev = _t(spark, sf, "events")
+    # each event becomes a one-hot AggregatedHistogram {buckets, count,
+    # sum}; the merge is bucket-wise array addition via zip_with folding
+    # — exactly MetricData::add for histograms
+    idx = F.least(F.floor(F.col("value") / 20).cast("int"), F.lit(4))
+    one_hot = F.array(*[F.when(idx == i, 1).otherwise(0).cast("long") for i in range(5)])
+    merged = ev.withColumn("h", one_hot).groupBy("event_type").agg(
+        F.aggregate(
+            F.collect_list("h"),
+            F.array(*[F.lit(0).cast("long") for _ in range(5)]),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("buckets"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    return merged.select(
+        "event_type",
+        *[F.get("buckets", i).alias(f"b{i}") for i in range(5)],
+        "n",
+        "total",
+    )
+
+
 # =====================================================================
 # Relational sanity (classic OLAP shapes through the same engine)
 # =====================================================================

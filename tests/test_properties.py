@@ -115,3 +115,16 @@ def test_truncate_slice_match_python(spark):
     for r in rows:
         assert r["t10"] == r["s"][:10]
         assert r["s38"] == r["s"][3:8]
+
+
+def test_sha3_matches_hashlib(spark):
+    import hashlib
+
+    from vector_spark.functions.strings import sha3_
+
+    rng = _rng()
+    cases = list(dict.fromkeys("".join(rng.choice(string.ascii_letters) for _ in range(20)) for _ in range(50)))
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", sha3_(F.col("s"), 256).alias("h")).collect()}
+    for s in cases:
+        assert got[s] == hashlib.sha3_256(s.encode()).hexdigest()

@@ -212,3 +212,59 @@ def parse_cloudwatch_subscription(col: Column) -> Column:
     the multi-event emission (the same explode() shape that backs VRL
     remap's set-`.`-to-an-array multi-emit)."""
     return F.from_json(col, CLOUDWATCH_SUBSCRIPTION_SCHEMA)
+
+
+GLOG_RX = r"^([IWEF])(\d{2})(\d{2}) (\d{2}:\d{2}:\d{2})\.(\d+)\s+(\d+) ([^:]+):(\d+)\] (.*)$"
+_GLOG_LEVELS = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
+
+
+def parse_glog(col: Column) -> dict[str, Column]:
+    """VRL parse_glog (lib/vrl/stdlib/src/parse_glog.rs): google log
+    lines 'I0817 10:00:00.123456  1234 file.cc:42] msg'."""
+    level_map = F.create_map(*[F.lit(x) for kv in _GLOG_LEVELS.items() for x in kv])
+    return {
+        "level": F.element_at(level_map, F.regexp_extract(col, GLOG_RX, 1)),
+        "month": F.regexp_extract(col, GLOG_RX, 2).try_cast("int"),
+        "day": F.regexp_extract(col, GLOG_RX, 3).try_cast("int"),
+        "time": F.regexp_extract(col, GLOG_RX, 4),
+        "pid": F.regexp_extract(col, GLOG_RX, 6).try_cast("long"),
+        "file": F.regexp_extract(col, GLOG_RX, 7),
+        "line": F.regexp_extract(col, GLOG_RX, 8).try_cast("long"),
+        "message": F.regexp_extract(col, GLOG_RX, 9),
+    }
+
+
+NGINX_ERROR_RX = r"^(\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}) \[(\w+)\] (\d+)#(\d+): (?:\*(\d+) )?(.*)$"
+
+
+def parse_nginx_error_log(col: Column) -> dict[str, Column]:
+    """VRL parse_nginx_log (error format): '2026/08/17 10:00:00 [error]
+    1234#0: *5 message'."""
+    return {
+        "timestamp": F.try_to_timestamp(F.regexp_extract(col, NGINX_ERROR_RX, 1), F.lit("yyyy/MM/dd HH:mm:ss")),
+        "severity": F.regexp_extract(col, NGINX_ERROR_RX, 2),
+        "pid": F.regexp_extract(col, NGINX_ERROR_RX, 3).try_cast("long"),
+        "tid": F.regexp_extract(col, NGINX_ERROR_RX, 4).try_cast("long"),
+        "cid": F.regexp_extract(col, NGINX_ERROR_RX, 5).try_cast("long"),
+        "message": F.regexp_extract(col, NGINX_ERROR_RX, 6),
+    }
+
+
+_VPC_FLOW_FIELDS = [
+    ("version", "int"), ("account_id", "string"), ("interface_id", "string"),
+    ("srcaddr", "string"), ("dstaddr", "string"), ("srcport", "int"),
+    ("dstport", "int"), ("protocol", "int"), ("packets", "long"),
+    ("bytes", "long"), ("start", "long"), ("end", "long"),
+    ("action", "string"), ("log_status", "string"),
+]
+
+
+def parse_aws_vpc_flow_log(col: Column) -> dict[str, Column]:
+    """VRL parse_aws_vpc_flow_log: 14 space-separated fields, '-' = null."""
+    parts = F.split(col, " ")
+    out = {}
+    for i, (name, typ) in enumerate(_VPC_FLOW_FIELDS):
+        c = F.get(parts, i)
+        c = F.when(c == "-", F.lit(None)).otherwise(c)
+        out[name] = c.try_cast(typ) if typ != "string" else c
+    return out

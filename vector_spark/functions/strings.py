@@ -7,6 +7,7 @@ built-in-function composition — JVM-side, codegen'd.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under postponed annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -224,3 +225,20 @@ def encode_logfmt(cols: dict[str, Column]) -> Column:
     """VRL encode_logfmt: 'k=v k2=v2' in given key order."""
     parts = [F.concat(F.lit(f"{k}="), c.cast("string")) for k, c in cols.items()]
     return F.concat_ws(" ", *parts)
+
+
+def sha3_(col: Column, bits: int = 256):
+    """VRL sha3 — no Spark builtin, so this is the documented UDF slow
+    path: an Arrow-batched pandas UDF over hashlib (still columnar
+    transfer, never row-at-a-time Python)."""
+    import hashlib
+
+    import pandas as pd
+
+    fn = {224: hashlib.sha3_224, 256: hashlib.sha3_256, 384: hashlib.sha3_384, 512: hashlib.sha3_512}[bits]
+
+    @F.pandas_udf("string")
+    def _sha3(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None else fn(x.encode()).hexdigest())
+
+    return _sha3(col)
