@@ -1,0 +1,136 @@
+"""Config→topology compiler: TOML in, executed DAG out, mirroring the
+reference compile pipeline (macro expansion, fan-in union, fan-out
+reuse, cycle/unknown-input rejection — src/config/compiler.rs:7-151).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_spark.plans.config import ConfigError, compile_config
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cfg") / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_toml_topology_end_to_end(spark, events_path):
+    """The flagship mini-topology as a vector.toml: source → parse →
+    route → per-lane aggregate → memory sinks."""
+    toml = f"""
+[sources.events]
+type = "parquet"
+path = "{events_path}"
+
+[transforms.parsed]
+type = "json_parser"
+inputs = ["events"]
+field = "props"
+keys = ["k"]
+
+[transforms.router]
+type = "route"
+inputs = ["parsed"]
+[transforms.router.route]
+errors = "event_type = 'error' OR value >= 95.0"
+clicky = "event_type IN ('click', 'view')"
+
+[transforms.err_metrics]
+type = "aggregate"
+inputs = ["router.errors"]
+group_by = ["event_type"]
+[transforms.err_metrics.aggregates]
+n = "count:"
+total = "sum:value"
+
+[sinks.errors_out]
+type = "memory"
+inputs = ["err_metrics"]
+
+[sinks.clicky_out]
+type = "memory"
+inputs = ["router.clicky"]
+
+[sinks.unmatched_out]
+type = "memory"
+inputs = ["router._unmatched"]
+"""
+    topo = compile_config(spark, toml)
+    results = topo.run()
+
+    ev = spark.read.parquet(events_path)
+    from pyspark.sql import functions as F
+
+    want_err = {
+        (r["event_type"], r["n"], round(r["total"], 4))
+        for r in ev.filter("event_type = 'error' OR value >= 95.0")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    got_err = {(r["event_type"], r["n"], round(r["total"], 4)) for r in results["errors_out"]}
+    assert got_err == want_err
+
+    n_clicky = ev.filter("event_type IN ('click','view')").count()
+    n_unmatched = ev.filter(
+        "NOT coalesce((event_type = 'error' OR value >= 95.0) OR (event_type IN ('click','view')), false)"
+    ).count()
+    assert len(results["clicky_out"]) == n_clicky
+    assert len(results["unmatched_out"]) == n_unmatched
+
+
+def test_compound_serial_and_fanin_union(spark, events_path):
+    cfg = {
+        "sources": {
+            "a": {"type": "parquet", "path": events_path},
+            "b": {"type": "parquet", "path": events_path},
+        },
+        "transforms": {
+            "chain": {
+                "type": "compound",
+                "inputs": ["a", "b"],  # fan-in union of both sources
+                "steps": [
+                    {"type": "filter", "condition": "value >= 50"},
+                    {"type": "add_fields", "fields": {"stage": "final"}},
+                ],
+            },
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["chain"]}},
+    }
+    topo = compile_config(spark, cfg)
+    rows = topo.run()["out"]
+    n = spark.read.parquet(events_path).filter("value >= 50").count()
+    assert len(rows) == 2 * n  # both sources unioned
+    assert all(r["stage"] == "final" for r in rows)
+
+
+def test_compile_errors(spark, events_path):
+    with pytest.raises(ConfigError, match="unknown input"):
+        compile_config(
+            spark,
+            {"sources": {}, "transforms": {}, "sinks": {"s": {"type": "memory", "inputs": ["ghost"]}}},
+        ).run()
+    with pytest.raises(ConfigError, match="cycle"):
+        compile_config(
+            spark,
+            {
+                "sources": {},
+                "transforms": {
+                    "x": {"type": "filter", "inputs": ["y"], "condition": "true"},
+                    "y": {"type": "filter", "inputs": ["x"], "condition": "true"},
+                },
+                "sinks": {"s": {"type": "memory", "inputs": ["x"]}},
+            },
+        ).run()
+    with pytest.raises(ConfigError, match="duplicate"):
+        compile_config(
+            spark,
+            {
+                "sources": {"x": {"type": "parquet", "path": events_path}},
+                "transforms": {"x": {"type": "filter", "inputs": ["x"], "condition": "true"}},
+                "sinks": {},
+            },
+        )

@@ -1,0 +1,331 @@
+"""Config → topology compiler: Vector's `vector.toml` front-end.
+
+Mirrors the reference compile pipeline
+(/root/reference/src/config/compiler.rs:7-101):
+  1. name validation (compiler.rs:13-21)
+  2. macro expansion — `route` expands into one output port per lane
+     (ExpandType::Parallel, compiler.rs:105-151 + route.rs:101-120);
+     `compound` expands into a serial chain (compound.rs:58)
+  3. input resolution — a component with several `inputs` receives the
+     UNION of its upstreams (config/graph.rs via compiler.rs:62-77);
+     an output consumed by several components is FANNED OUT by reusing
+     one DataFrame (fanout.rs:32-36), persisted when it feeds 2+ sinks
+  4. graph checks — unknown inputs and cycles are compile errors
+     (Graph::typecheck, compiler.rs:50-60); schema compatibility is
+     delegated to Catalyst's analyzer at build time
+
+The config shape is Vector's: `[sources.X] / [transforms.Y] /
+[sinks.Z]` tables with `type` and `inputs`. Conditions are SQL boolean
+expressions (the VRL-condition analogue). Parse with
+``tomllib.loads`` or pass a plain dict.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConfigError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- builders
+
+
+def _src_parquet(spark, cfg):
+    return spark.read.parquet(cfg["path"])
+
+
+def _src_generator(spark, cfg):
+    from vector_spark.corpus import sequences
+
+    return sequences(spark, int(cfg.get("count", 1000)), seed=int(cfg.get("seed", 42)))
+
+
+SOURCES = {"parquet": _src_parquet, "generator": _src_generator}
+
+
+def _t_filter(df, cfg):
+    from vector_spark.operators.filter import Filter
+
+    return Filter(F.expr(cfg["condition"])).apply(df)
+
+
+def _t_field_filter(df, cfg):
+    return df.filter(F.col(cfg["field"]) == F.lit(cfg["value"]))
+
+
+def _t_sample(df, cfg):
+    from vector_spark.operators.sample import Sample
+
+    return Sample(
+        rate=int(cfg["rate"]),
+        key_field=cfg.get("key_field"),
+        modulo=bool(cfg.get("modulo", False)),
+        exclude=F.expr(cfg["exclude"]) if "exclude" in cfg else None,
+    ).apply(df)
+
+
+def _t_dedupe(df, cfg):
+    from vector_spark.operators.dedupe import Dedupe
+
+    fields = cfg.get("fields", {})
+    return Dedupe(
+        match=fields.get("match", ["timestamp", "host", "message"]),
+        order_by=cfg.get("order_by", "ts"),
+        tiebreak=cfg.get("tiebreak"),
+    ).apply(df)
+
+
+def _t_add_fields(df, cfg):
+    from vector_spark.operators.fields import AddFields
+
+    return AddFields(cfg["fields"], overwrite=bool(cfg.get("overwrite", True))).apply(df)
+
+
+def _t_remove_fields(df, cfg):
+    from vector_spark.operators.fields import RemoveFields
+
+    return RemoveFields(cfg["fields"]).apply(df)
+
+
+def _t_rename_fields(df, cfg):
+    from vector_spark.operators.fields import RenameFields
+
+    return RenameFields(cfg["fields"]).apply(df)
+
+
+def _t_coercer(df, cfg):
+    out = df
+    for col, typ in cfg["types"].items():
+        out = out.withColumn(col, F.col(col).try_cast(typ))
+    if cfg.get("drop_unspecified"):
+        out = out.select(*cfg["types"].keys())
+    return out
+
+
+def _t_json_parser(df, cfg):
+    from vector_spark.functions.parse import parse_json_map
+
+    fld = cfg.get("field", "message")
+    target = cfg.get("target_field")
+    parsed = parse_json_map(F.col(fld))
+    if target:
+        return df.withColumn(target, parsed)
+    # merge keys at root requires a known key list in columnar form
+    keys = cfg.get("keys") or []
+    out = df
+    for k in keys:
+        out = out.withColumn(k, F.element_at(parsed, k))
+    return out
+
+
+def _t_regex_parser(df, cfg):
+    from vector_spark.operators.remap import RegexParser
+
+    return RegexParser(
+        [(p, {k: int(v) for k, v in g.items()}) for p, g in cfg["patterns"]],
+        field=cfg.get("field", "message"),
+        types=cfg.get("types", {}),
+    ).apply(df)
+
+
+def _t_grok_parser(df, cfg):
+    from vector_spark.functions.grok import grok_extract
+
+    caps = grok_extract(F.col(cfg.get("field", "message")), cfg["pattern"])
+    out = df
+    for name, col in caps.items():
+        out = out.withColumn(name, col)
+    return out
+
+
+def _t_ansi_stripper(df, cfg):
+    from vector_spark.operators.fields import AnsiStripper
+
+    return AnsiStripper(cfg.get("field", "message")).apply(df)
+
+
+def _t_aggregate(df, cfg):
+    group = cfg.get("group_by", [])
+    aggs = []
+    for out_name, spec in cfg["aggregates"].items():
+        fn, _, col = spec.partition(":")
+        fns = {
+            "count": lambda c: F.count(F.lit(1)),
+            "sum": F.sum,
+            "min": F.min,
+            "max": F.max,
+            "avg": F.avg,
+            "count_distinct": F.countDistinct,
+        }
+        aggs.append(fns[fn](col).alias(out_name))
+    return df.groupBy(*group).agg(*aggs)
+
+
+TRANSFORMS = {
+    "filter": _t_filter,
+    "field_filter": _t_field_filter,
+    "sample": _t_sample,
+    "dedupe": _t_dedupe,
+    "add_fields": _t_add_fields,
+    "remove_fields": _t_remove_fields,
+    "rename_fields": _t_rename_fields,
+    "coercer": _t_coercer,
+    "json_parser": _t_json_parser,
+    "regex_parser": _t_regex_parser,
+    "grok_parser": _t_grok_parser,
+    "ansi_stripper": _t_ansi_stripper,
+    "aggregate": _t_aggregate,
+}
+
+
+# ---------------------------------------------------------------- compiler
+
+
+@dataclass
+class CompiledTopology:
+    """Sink name → DataFrame, ready to run. Mirrors Config{sources,
+    transforms, sinks} (compiler.rs:80-93) post-expansion."""
+
+    sinks: dict[str, DataFrame]
+    sink_configs: dict[str, dict]
+    outputs: dict[str, DataFrame] = field(default_factory=dict)
+
+    def run(self) -> dict[str, object]:
+        """Execute every sink; returns per-sink results (row count for
+        writes, collected rows for `memory`)."""
+        results = {}
+        for name, df in self.sinks.items():
+            cfg = self.sink_configs[name]
+            kind = cfg["type"]
+            if kind == "parquet":
+                writer = df.write.mode(cfg.get("mode", "overwrite"))
+                if cfg.get("partition_by"):
+                    writer = writer.partitionBy(*cfg["partition_by"])
+                writer.parquet(cfg["path"])
+                results[name] = "written"
+            elif kind == "memory":
+                results[name] = df.collect()
+            elif kind in ("noop", "blackhole"):
+                df.write.format("noop").mode("overwrite").save()
+                results[name] = "consumed"
+            elif kind == "console":
+                df.show(int(cfg.get("limit", 20)))
+                results[name] = "shown"
+            else:
+                raise ConfigError(f"unknown sink type {kind!r}")
+        return results
+
+
+def compile_config(spark: SparkSession, config: dict | str) -> CompiledTopology:
+    if isinstance(config, str):
+        import tomllib
+
+        config = tomllib.loads(config)
+
+    sources = config.get("sources", {})
+    transforms = config.get("transforms", {})
+    sinks = config.get("sinks", {})
+
+    # 1. name validation
+    seen: set[str] = set()
+    for name in [*sources, *transforms, *sinks]:
+        if name in seen:
+            raise ConfigError(f"duplicate component name {name!r}")
+        seen.add(name)
+
+    # 2. macro expansion: route → one virtual output per lane;
+    #    compound → serial chain of steps
+    expanded: dict[str, dict] = {}
+    for name, cfg in transforms.items():
+        kind = cfg.get("type")
+        if kind == "route":
+            for lane, cond in cfg["route"].items():
+                expanded[f"{name}.{lane}"] = {
+                    "type": "filter",
+                    "inputs": cfg.get("inputs", []),
+                    "condition": cond,
+                }
+            lane_conds = " OR ".join(f"({c})" for c in cfg["route"].values())
+            expanded[f"{name}._unmatched"] = {
+                "type": "filter",
+                "inputs": cfg.get("inputs", []),
+                "condition": f"NOT coalesce({lane_conds}, false)",
+            }
+        elif kind == "compound":
+            prev_inputs = cfg.get("inputs", [])
+            steps = cfg["steps"]
+            for i, step in enumerate(steps):
+                step_name = f"{name}.{i}" if i < len(steps) - 1 else name
+                expanded[step_name] = {**step, "inputs": prev_inputs}
+                prev_inputs = [step_name]
+        else:
+            expanded[name] = cfg
+
+    # 3+4. resolve the DAG with cycle/unknown-input checks (DFS)
+    built: dict[str, DataFrame] = {}
+    building: set[str] = set()
+
+    def resolve(name: str) -> DataFrame:
+        if name in built:
+            return built[name]
+        if name in building:
+            raise ConfigError(f"cycle through {name!r}")
+        if name in sources:
+            cfg = sources[name]
+            try:
+                builder = SOURCES[cfg["type"]]
+            except KeyError:
+                raise ConfigError(f"unknown source type {cfg.get('type')!r}") from None
+            df = builder(spark, cfg)
+        elif name in expanded:
+            cfg = expanded[name]
+            inputs = cfg.get("inputs", [])
+            if not inputs:
+                raise ConfigError(f"transform {name!r} has no inputs")
+            building.add(name)
+            try:
+                upstream = [resolve(i) for i in inputs]
+            finally:
+                building.discard(name)
+            df = upstream[0]
+            for other in upstream[1:]:  # fan-in = union (graph.rs)
+                df = df.unionByName(other, allowMissingColumns=True)
+            try:
+                builder = TRANSFORMS[cfg["type"]]
+            except KeyError:
+                raise ConfigError(f"unknown transform type {cfg.get('type')!r}") from None
+            df = builder(df, cfg)
+        else:
+            raise ConfigError(f"unknown input {name!r}")
+        built[name] = df
+        return df
+
+    # fan-out accounting: persist any output consumed by 2+ components
+    consumers: dict[str, int] = {}
+    for cfg in [*expanded.values(), *sinks.values()]:
+        for i in cfg.get("inputs", []):
+            consumers[i] = consumers.get(i, 0) + 1
+
+    sink_dfs: dict[str, DataFrame] = {}
+    for name, cfg in sinks.items():
+        inputs = cfg.get("inputs", [])
+        if not inputs:
+            raise ConfigError(f"sink {name!r} has no inputs")
+        ups = []
+        for i in inputs:
+            df = resolve(i)
+            if consumers.get(i, 0) > 1 and i not in sources:
+                df = df.persist()
+                built[i] = df
+            ups.append(df)
+        df = ups[0]
+        for other in ups[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+        sink_dfs[name] = df
+
+    return CompiledTopology(sinks=sink_dfs, sink_configs=dict(sinks), outputs=built)
