@@ -25,6 +25,31 @@ def test_grok_unknown_pattern():
         expand("%{NOPE:x}")
 
 
+def test_grok_nested_named_capture_order():
+    """User library whose named pattern BODY itself contains named refs:
+    the outer capture's group opens before the inner ones, so the
+    capture list must be [outer, inner...] in group-number order
+    (regression: the list used to come out [inner..., outer])."""
+    lib = {"PAIR": r"%{WORD:k}=%{WORD:v}"}
+    rx, caps = expand("%{PAIR:pair} %{INT:n}", patterns=lib)
+    assert [c[0] for c in caps] == ["pair", "k", "v", "n"]
+    import re
+
+    m = re.match(rx, "alpha=beta 42")
+    got = {name: m.group(i) for i, (name, _) in enumerate(caps, start=1)}
+    assert got == {"pair": "alpha=beta", "k": "alpha", "v": "beta", "n": "42"}
+
+
+def test_grok_nested_named_capture_spark(spark):
+    lib = {"PAIR": r"%{WORD:k}=%{WORD:v}"}
+    df = spark.createDataFrame([("alpha=beta 42",), ("nomatch",)], "line string")
+    caps = grok_extract(F.col("line"), "%{PAIR:pair} %{INT:n:int}", patterns=lib)
+    rows = df.select(*[c.alias(n) for n, c in caps.items()]).collect()
+    assert rows[0]["pair"] == "alpha=beta" and rows[0]["k"] == "alpha"
+    assert rows[0]["v"] == "beta" and rows[0]["n"] == 42
+    assert all(rows[1][c] is None for c in ("pair", "k", "v", "n"))
+
+
 def test_parse_stage_golden(spark, corpus):
     """All four formats normalize to the ground-truth severity/component."""
     from vector_spark.plans.pipeline import parse_stage

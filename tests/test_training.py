@@ -59,6 +59,38 @@ def test_simhash_properties(spark):
     assert (1, 2) in near
 
 
+def test_hamming_banding_matches_brute_force(spark):
+    """Pigeonhole banding must return EXACTLY the brute-force pair set
+    (it's a candidate superset + exact verify) and must not plan a
+    cartesian product or broadcast nested-loop join."""
+    from vector_spark.training.dedup import hamming_near_pairs
+
+    import random
+
+    rnd = random.Random(42)
+    rows = [(i, rnd.randrange(1 << 16)) for i in range(120)]
+    # inject planted near-pairs at assorted distances
+    rows += [(1000, rows[0][1]), (1001, rows[0][1] ^ 0b101), (1002, rows[0][1] ^ 0b1110001)]
+    sim = spark.createDataFrame(rows, "doc_id int, simhash long")
+
+    for d in (1, 2, 3):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_near_pairs(sim, max_dist=d).collect()
+        }
+        expected = {
+            (a, b, bin(x ^ y).count("1"))
+            for (a, x) in rows
+            for (b, y) in rows
+            if a < b and bin(x ^ y).count("1") <= d
+        }
+        assert got == expected, f"mismatch at max_dist={d}"
+
+    plan = hamming_near_pairs(sim, max_dist=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_brute_force_topk_vs_numpy(spark):
     import numpy as np
 

@@ -102,10 +102,16 @@ def expand(pattern: str, patterns: dict[str, str] | None = None) -> tuple[str, l
             syntax, name, typ = m.group(1), m.group(2), m.group(3)
             if syntax not in lib:
                 raise KeyError(f"unknown grok pattern %{{{syntax}}}")
-            body = _expand(lib[syntax], depth + 1)
+            # The outer capture's group opens BEFORE any groups inside its
+            # body, so it must be appended before recursing — Java numbers
+            # groups by position of the opening paren. (Appending after
+            # recursion misaligns every capture when a user library nests
+            # named refs, e.g. {"PAIR": "%{WORD:k}=%{WORD:v}"} as %{PAIR:p}.)
             if name:
                 captures.append((name, typ))
+                body = _expand(lib[syntax], depth + 1)
                 return f"({body})"
+            body = _expand(lib[syntax], depth + 1)
             return f"(?:{body})"
 
         return _GROK_REF.sub(sub, p)
@@ -113,18 +119,40 @@ def expand(pattern: str, patterns: dict[str, str] | None = None) -> tuple[str, l
     return _expand(pattern, 0), captures
 
 
+# Field separator for single-pass multi-capture extraction. ASCII unit
+# separator — never present in sane log lines; a capture containing it
+# would shift subsequent fields (documented contract, same caveat as any
+# delimiter-encoded interchange).
+_SEP = "\x1f"
+
+
 def grok_extract(col: Column, pattern: str, patterns: dict[str, str] | None = None) -> dict[str, Column]:
     """Compile a grok pattern and return {capture_name: Column} extractors.
 
-    Non-matching rows yield NULL for every capture (regexp_extract returns
-    '' on no-match; we normalize '' → NULL to mirror Vector's "no match →
-    field absent" semantics, grok_parser.rs:117-141). Typed captures are
+    Single-pass plan: the expanded regex runs ONCE per row via
+    ``regexp_replace(col, '^.*?(?:rx).*$', '$1␟$2␟…')`` and the captures
+    come out of one ``split`` — versus one full regex execution per
+    capture with per-group ``regexp_extract`` (a 9-capture apache
+    pattern would otherwise run the regex 10× per row). A non-matching
+    row leaves the anchored replace a no-op; the ``rlike`` guard nulls
+    every capture there, mirroring Vector's "no match → field absent"
+    semantics (grok_parser.rs:117-141). A non-participating optional
+    group substitutes '' which we normalize to NULL. Typed captures are
     try_cast so a bad value nulls out instead of failing the task.
+
+    The wrapper anchors assume single-line events (no DOTALL): a match
+    that only exists past an embedded newline nulls out rather than
+    extracting — Vector's log events are single-line by the time they
+    reach grok (multi-line assembly happens in the `merge` transform).
     """
     rx, captures = expand(pattern, patterns)
+    n = len(captures)
+    ok = col.rlike(rx)
+    repl = _SEP.join(f"${i}" for i in range(1, n + 1))
+    fields = F.split(F.regexp_replace(col, f"^(?:.*?)(?:{rx})(?:.*)$", repl), _SEP, -1)
     out: dict[str, Column] = {}
     for idx, (name, typ) in enumerate(captures, start=1):
-        c = F.regexp_extract(col, rx, idx)
+        c = F.when(ok, F.element_at(fields, idx)).otherwise(F.lit(None))
         c = F.when(c == "", F.lit(None)).otherwise(c)
         if typ in GROK_TYPES:
             c = c.try_cast(GROK_TYPES[typ])

@@ -159,12 +159,50 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
     return agged.select(id_col, expr.alias("simhash"))
 
 
-def hamming_near_pairs(sim: DataFrame, max_dist: int = 2, id_col: str = "doc_id") -> DataFrame:
-    """SimHash near-dup pairs by Hamming distance ≤ max_dist, candidate-
-    limited by exact-equality buckets on the fingerprint (rotate-band
-    variants would widen recall; this is the precision-first core)."""
-    a = sim.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"))
-    b = sim.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+def hamming_near_pairs(
+    sim: DataFrame, max_dist: int = 2, bits: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance ≤ max_dist via
+    pigeonhole banding: the `bits`-bit fingerprint is split into
+    max_dist+1 contiguous segments, and any pair within distance
+    max_dist must agree EXACTLY on at least one segment (at most
+    max_dist bits differ, so they can't touch all max_dist+1 segments).
+    Each segment becomes an equi-join key — candidate generation is a
+    hash join per segment (linear shuffle of (segment value, id, sig)),
+    never a cross join — then an exact bit_count(xor) verify keeps
+    precision at 100%.  Result set is identical to the brute-force
+    all-pairs scan.
+
+    Scale note: buckets of identical segments can be hot when the
+    corpus carries many exact duplicates; run exact dedup first (the
+    standard pipeline order) and the residual bucket sizes stay small.
+    """
+    n_seg = max_dist + 1
+    base, rem = divmod(bits, n_seg)
+    bounds: list[tuple[int, int]] = []
+    start = 0
+    for i in range(n_seg):
+        ln = base + (1 if i < rem else 0)
+        bounds.append((start, ln))
+        start += ln
+
+    pair_sets = []
+    for seg_start, seg_len in bounds:
+        seg = F.shiftright(F.col("simhash"), seg_start).bitwiseAND(F.lit((1 << seg_len) - 1))
+        keyed = sim.select(F.col(id_col), F.col("simhash"), seg.alias("seg"))
+        a = keyed.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"), "seg")
+        b = keyed.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"), "seg")
+        pair_sets.append(
+            a.join(b, "seg")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sa", "sb")
+        )
+    cands = pair_sets[0]
+    for p in pair_sets[1:]:
+        cands = cands.unionByName(p)
     dist = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return pairs.filter(dist <= max_dist).select("id_a", "id_b", dist.alias("hamming"))
+    return (
+        cands.distinct()
+        .filter(dist <= max_dist)
+        .select("id_a", "id_b", dist.alias("hamming"))
+    )
