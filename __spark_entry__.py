@@ -588,11 +588,24 @@ def q_tag_cardinality(spark, sf):
     return out.select("event_id", "event_type")
 
 
-# ---- transform #27 metric_to_log — non-SQL-expressible (JSON encode
-# formatting differs across engines); rows-only check ------------------
+# ---- transform #27 metric_to_log — canonical JSON serialization
+# (fixed field order, sorted tags, unix-micro ts, %.4f doubles) so the
+# oracle reproduces the message byte-for-byte --------------------------
 
 
-@_q("metric_to_log")
+@_q(
+    "metric_to_log",
+    """
+    SELECT '{"name":"event_value","namespace":"vector","tags":{"host":"h1","type":"'
+             || event_type || '"},"ts":' || CAST(epoch_us(ts) AS VARCHAR)
+             || ',"kind":"incremental","value_type":"counter","value":'
+             || printf('%.4f', value) || '}' AS message,
+           'h1' AS host,
+           epoch_us(ts) AS ts_us,
+           'metric_to_log' AS source_type
+    FROM events WHERE value IS NOT NULL
+    """,
+)
 def q_metric_to_log(spark, sf):
     from vector_spark.operators.log_to_metric import LogToMetric, MetricSpec
     from vector_spark.operators.metric_to_log import MetricToLog

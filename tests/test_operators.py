@@ -231,6 +231,37 @@ def test_tag_cardinality_limit(spark):
     vals = {r["tag"] for r in nulled.collect()}
     assert vals == {"v0", "v1", "v2", None} and nulled.count() == 50
 
+    # scale shape: accept-set build is a distributed top-K, not a
+    # global single-partition window rank
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_map_tag_cardinality_limit(spark):
+    from vector_spark.operators.tag_cardinality_limit import MapTagCardinalityLimit
+
+    rows = []
+    for i in range(40):
+        rows.append(({"host": f"h{i % 5}", "app": f"a{i % 2}", "static": "s"}, i))
+    df = spark.createDataFrame(rows, "tags map<string,string>, ts int")
+
+    # host capped at 3 (h0..h2 accepted), app capped at 3 (both accepted)
+    out = MapTagCardinalityLimit(["host", "app"], value_limit=3, action="drop_tag").apply(df)
+    got = out.collect()
+    assert len(got) == 40
+    for r in got:
+        t = r["tags"]
+        assert t["static"] == "s" and t["app"] in ("a0", "a1")
+        if "host" in t:
+            assert t["host"] in ("h0", "h1", "h2")
+    n_dropped = sum(1 for r in got if "host" not in r["tags"])
+    assert n_dropped == 16  # h3, h4 rows: 8 each
+
+    dropped = MapTagCardinalityLimit(["host"], value_limit=3, action="drop_event").apply(df)
+    kept_hosts = {r["tags"]["host"] for r in dropped.collect()}
+    assert kept_hosts == {"h0", "h1", "h2"} and dropped.count() == 24
+
 
 def test_merge_partials(spark):
     from vector_spark.operators.merge import MergePartials

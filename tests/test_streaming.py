@@ -172,3 +172,66 @@ def test_streaming_reduce_ends_when(spark, tmp_path):
     # a wrong total would not be
     leftovers = [g for g in got if g[3] != "ends_when"]
     assert leftovers in ([], [(2, 2, 21.0, "timeout")])
+
+
+def test_streaming_tag_cardinality_bloom(spark, tmp_path):
+    """Bloom-mode cardinality cap: first `limit` distinct values by
+    arrival order accepted, later new values over-cap; state is the
+    fixed-size Bloom bits, and two micro-batches share it (a value
+    accepted in batch 1 stays accepted in batch 2)."""
+    from vector_spark.streaming import streaming_tag_cardinality_limit
+
+    src = tmp_path / "tcl_src"
+    b1 = [(i, f"v{i % 4}") for i in range(8)]        # v0..v3 seen in batch 1
+    b2 = [(100 + i, f"v{i % 6}") for i in range(12)]  # v4, v5 are new
+    spark.createDataFrame(b1, "ts long, tag string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "p1"))
+    spark.createDataFrame(b2, "ts long, tag string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "p2"))
+
+    stream = spark.readStream.schema("ts long, tag string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "p*"))
+    out = streaming_tag_cardinality_limit(stream, "tag", value_limit=4, action="drop_event")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tcl_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("tcl_s").collect()
+    tags = {r["tag"] for r in rows}
+    assert tags == {"v0", "v1", "v2", "v3"}  # v4/v5 over-cap, dropped
+    assert len(rows) == 8 + 8  # batch2 keeps only its v0..v3 rows
+
+    # drop_tag mode: rows survive, over-cap tags nulled
+    out2 = streaming_tag_cardinality_limit(stream, "tag", value_limit=4, action="drop_tag")
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("tcl_s2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows2 = spark.table("tcl_s2").collect()
+    assert len(rows2) == 20
+    assert sum(1 for r in rows2 if r["tag"] is None) == 4  # v4/v5 rows in batch 2
+
+
+def test_bloom_filter_kernel():
+    import numpy as np
+
+    from vector_spark.streaming.tag_cardinality import bloom_add, bloom_contains
+
+    bits = np.zeros(1024, dtype=np.uint8)
+    for v in ("alpha", "beta", "gamma"):
+        assert not bloom_contains(bits, v)
+        bloom_add(bits, v)
+        assert bloom_contains(bits, v)
+    fps = sum(bloom_contains(bits, f"other{i}") for i in range(1000))
+    assert fps < 5  # 3 values in 8192 bits: FP rate ~0

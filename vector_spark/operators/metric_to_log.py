@@ -4,15 +4,32 @@ Reference: /root/reference/src/transforms/metric_to_log.rs:18-21, 113 —
 the metric is serialized to its JSON shape and re-read as a LogEvent;
 the `host` tag is promoted to the log's host field.
 
-Spark: to_json(struct(...)) projection + tag promotion. Narrow.
+Spark: a canonical-JSON projection + tag promotion. Narrow (no shuffle).
+
+The message is CANONICAL by construction — fixed field order
+(name, namespace, tags, ts, kind, value_type, value[, set_values]),
+tags sorted by key, timestamps as unix microseconds, doubles as %.4f —
+rather than engine-default ``to_json`` formatting, so any engine
+(our DuckDB oracle included) reproduces it byte-for-byte. Tag keys and
+values are emitted verbatim (metric tag values are identifier-like by
+contract; a value containing a quote would need JSON escaping).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_spark.operators.base import Transform
+
+
+def _tags_json(tags: Column) -> Column:
+    entries = F.array_sort(F.map_entries(tags))
+    kv = F.transform(
+        entries,
+        lambda e: F.concat(F.lit('"'), e["key"], F.lit('":"'), e["value"], F.lit('"')),
+    )
+    return F.concat(F.lit("{"), F.concat_ws(",", kv), F.lit("}"))
 
 
 class MetricToLog(Transform):
@@ -20,10 +37,44 @@ class MetricToLog(Transform):
         self.host_tag, self.timestamp_col = host_tag, timestamp_col
 
     def apply(self, df: DataFrame) -> DataFrame:
-        payload = F.struct(*[F.col(c) for c in df.columns])
+        ts_us = F.unix_micros(F.col(self.timestamp_col).cast("timestamp"))
+        val_json = (
+            F.when(F.col("value").isNotNull(), F.format_string("%.4f", F.col("value")))
+            .otherwise(F.lit("null"))
+            if "value" in df.columns
+            else F.lit("null")
+        )
+        if "set_values" in df.columns:
+            sets_json = F.when(
+                F.col("set_values").isNotNull(),
+                F.concat(
+                    F.lit(',"set_values":['),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.col("set_values"),
+                            lambda v: F.concat(F.lit('"'), v, F.lit('"')),
+                        ),
+                    ),
+                    F.lit("]"),
+                ),
+            ).otherwise(F.lit(""))
+        else:
+            sets_json = F.lit("")
+        message = F.concat(
+            F.lit('{"name":"'), F.col("name"),
+            F.lit('","namespace":"'), F.col("namespace"),
+            F.lit('","tags":'), _tags_json(F.col("tags")),
+            F.lit(',"ts":'), ts_us.cast("string"),
+            F.lit(',"kind":"'), F.col("kind"),
+            F.lit('","value_type":"'), F.col("value_type"),
+            F.lit('","value":'), val_json,
+            sets_json,
+            F.lit("}"),
+        )
         return df.select(
-            F.to_json(payload).alias("message"),
+            message.alias("message"),
             F.element_at(F.col("tags"), self.host_tag).alias("host"),
-            F.col(self.timestamp_col).alias("ts"),
+            ts_us.alias("ts_us"),
             F.lit("metric_to_log").alias("source_type"),
         )

@@ -3,5 +3,11 @@ from vector_spark.streaming.pipeline import (
     streaming_dedupe,
     streaming_parse_aggregate,
 )
+from vector_spark.streaming.tag_cardinality import streaming_tag_cardinality_limit
 
-__all__ = ["streaming_aggregate", "streaming_dedupe", "streaming_parse_aggregate"]
+__all__ = [
+    "streaming_aggregate",
+    "streaming_dedupe",
+    "streaming_parse_aggregate",
+    "streaming_tag_cardinality_limit",
+]
