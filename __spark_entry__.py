@@ -1642,6 +1642,258 @@ def q_sessionize(spark, sf):
     return sess.groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+# =====================================================================
+# VRL parser tail (round 2): klog, linux auth, ALB, user agent,
+# percent codec, ruby hash, xml
+# =====================================================================
+
+
+@_q(
+    "klog_parser",
+    """
+    WITH syn AS (
+      SELECT event_id, user_id, event_type,
+             user_id % 4 AS lv, event_id % 60 AS sec, event_id % 1000000 AS us
+      FROM events)
+    SELECT event_id,
+           CASE lv WHEN 0 THEN 'info' WHEN 1 THEN 'warning'
+                   WHEN 2 THEN 'error' ELSE 'fatal' END AS level,
+           epoch_us(TIMESTAMP '2026-08-17 10:00:00') + sec * 1000000 + us AS ts_us,
+           user_id AS klog_id,
+           event_type || '.go' AS file,
+           event_id % 500 AS line_no,
+           'done ' || event_type AS body
+    FROM syn
+    """,
+)
+def q_klog_parser(spark, sf):
+    from vector_spark.functions.parse import parse_klog
+
+    ev = _t(spark, sf, "events")
+    m = F.pmod("user_id", F.lit(4))
+    lvl = F.when(m == 0, "I").when(m == 1, "W").when(m == 2, "E").otherwise("F")
+    sec = F.lpad(F.pmod("event_id", F.lit(60)).cast("string"), 2, "0")
+    us = F.lpad(F.pmod("event_id", F.lit(1000000)).cast("string"), 6, "0")
+    line = F.concat(
+        lvl, F.lit("0817 10:00:"), sec, F.lit("."), us, F.lit("   "),
+        F.col("user_id"), F.lit(" "), F.col("event_type"), F.lit(".go:"),
+        F.pmod("event_id", F.lit(500)), F.lit("] done "), F.col("event_type"),
+    )
+    p = parse_klog(line, year=2026)
+    return ev.select(
+        "event_id",
+        p["level"].alias("level"),
+        F.unix_micros(p["timestamp"]).alias("ts_us"),
+        p["id"].alias("klog_id"),
+        p["file"].alias("file"),
+        p["line"].alias("line_no"),
+        p["message"].alias("body"),
+    )
+
+
+@_q(
+    "linux_auth_parser",
+    """
+    SELECT event_id,
+           epoch_us(TIMESTAMP '2026-03-23 01:49:58') AS ts_us,
+           'h' || (user_id % 50) AS hostname,
+           'sshd' AS appname,
+           user_id AS procid,
+           'Accepted publickey for u' || user_id || ' from 10.1.1.1 port 8888 ssh2' AS body
+    FROM events
+    """,
+)
+def q_linux_auth_parser(spark, sf):
+    from vector_spark.functions.parse import parse_linux_authorization
+
+    ev = _t(spark, sf, "events")
+    line = F.concat(
+        F.lit("Mar 23 01:49:58 h"), F.pmod("user_id", F.lit(50)),
+        F.lit(" sshd["), F.col("user_id"), F.lit("]: Accepted publickey for u"),
+        F.col("user_id"), F.lit(" from 10.1.1.1 port 8888 ssh2"),
+    )
+    p = parse_linux_authorization(line, year=2026)
+    return ev.select(
+        "event_id",
+        F.unix_micros(p["timestamp"]).alias("ts_us"),
+        p["hostname"].alias("hostname"),
+        p["appname"].alias("appname"),
+        p["procid"].alias("procid"),
+        p["message"].alias("body"),
+    )
+
+
+@_q(
+    "alb_log_parser",
+    """
+    SELECT event_id,
+           'http' AS req_type,
+           epoch_us(TIMESTAMP '2026-08-17 10:00:00') AS ts_us,
+           'my-elb' AS elb,
+           '10.0.' || (user_id % 256) || '.1:543' AS client_host,
+           CAST(200 + (user_id % 5) * 100 AS VARCHAR) AS elb_status_code,
+           event_id % 4096 AS received_bytes,
+           512 AS sent_bytes,
+           'GET' AS method,
+           'https://ex.com/' || event_type AS url,
+           'HTTP/1.1' AS protocol,
+           'curl/7.68.0' AS user_agent,
+           'Root=' || event_id AS trace_id
+    FROM events
+    """,
+)
+def q_alb_log_parser(spark, sf):
+    from vector_spark.functions.parse import parse_aws_alb_log
+
+    ev = _t(spark, sf, "events")
+    line = F.concat(
+        F.lit("http 2026-08-17T10:00:00.000000Z my-elb 10.0."),
+        F.pmod("user_id", F.lit(256)), F.lit(".1:543 10.0.1.1:80 0.001 0.005 0.0 "),
+        (F.lit(200) + F.pmod("user_id", F.lit(5)) * 100), F.lit(" 200 "),
+        F.pmod("event_id", F.lit(4096)), F.lit(' 512 "GET https://ex.com/'),
+        F.col("event_type"), F.lit(' HTTP/1.1" "curl/7.68.0" - - arn:tg "Root='),
+        F.col("event_id"), F.lit('"'),
+    )
+    p = parse_aws_alb_log(line)
+    return ev.select(
+        "event_id",
+        p["type"].alias("req_type"),
+        F.unix_micros(p["timestamp"]).alias("ts_us"),
+        p["elb"].alias("elb"),
+        p["client_host"].alias("client_host"),
+        p["elb_status_code"].alias("elb_status_code"),
+        p["received_bytes"].alias("received_bytes"),
+        p["sent_bytes"].alias("sent_bytes"),
+        p["request_method"].alias("method"),
+        p["request_url"].alias("url"),
+        p["request_protocol"].alias("protocol"),
+        p["user_agent"].alias("user_agent"),
+        p["trace_id"].alias("trace_id"),
+    )
+
+
+_UA_FIXTURES = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "curl/7.68.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 4_2_1 like Mac OS X) AppleWebKit/605 Version/14.0 Mobile/15E Safari/604.1",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
+]
+
+
+@_q(
+    "user_agent_parser",
+    """
+    WITH m AS (SELECT event_id, user_id % 4 AS v FROM events)
+    SELECT event_id,
+           CASE v WHEN 0 THEN 'Chrome' WHEN 1 THEN 'curl'
+                  WHEN 2 THEN 'Safari' ELSE 'Firefox' END AS browser_family,
+           CASE v WHEN 0 THEN '120.0.0.0' WHEN 1 THEN '7.68.0'
+                  WHEN 2 THEN '14.0' ELSE '115.0' END AS browser_version,
+           CASE v WHEN 0 THEN 'pc' WHEN 1 THEN NULL
+                  WHEN 2 THEN 'smartphone' ELSE 'pc' END AS device_category,
+           CASE v WHEN 0 THEN 'Windows' WHEN 1 THEN NULL
+                  WHEN 2 THEN 'iOS' ELSE 'Linux' END AS os_family,
+           CASE v WHEN 0 THEN '10.0' WHEN 1 THEN NULL
+                  WHEN 2 THEN '4_2_1' ELSE NULL END AS os_version
+    FROM m
+    """,
+)
+def q_user_agent_parser(spark, sf):
+    from vector_spark.functions.parse import parse_user_agent
+
+    ev = _t(spark, sf, "events")
+    m = F.pmod("user_id", F.lit(4))
+    ua = (
+        F.when(m == 0, _UA_FIXTURES[0])
+        .when(m == 1, _UA_FIXTURES[1])
+        .when(m == 2, _UA_FIXTURES[2])
+        .otherwise(_UA_FIXTURES[3])
+    )
+    p = parse_user_agent(ua)
+    return ev.select(
+        "event_id",
+        p["browser_family"].alias("browser_family"),
+        p["browser_version"].alias("browser_version"),
+        p["device_category"].alias("device_category"),
+        p["os_family"].alias("os_family"),
+        p["os_version"].alias("os_version"),
+    )
+
+
+@_q(
+    "percent_codec",
+    """
+    WITH raw AS (
+      SELECT event_id,
+             event_type || ' q?' || user_id || '&x=1' AS s,
+             event_id % 100000 AS n
+      FROM events)
+    SELECT event_id,
+           replace(replace(replace(replace(s, '&', '%26'), '=', '%3D'),
+                   ' ', '%20'), '?', '%3F') AS enc,
+           true AS roundtrip_ok,
+           lower(to_hex(n)) AS hex_id
+    FROM raw
+    """,
+)
+def q_percent_codec(spark, sf):
+    from vector_spark.functions.strings import decode_percent, encode_percent, format_int
+
+    ev = _t(spark, sf, "events")
+    raw = F.concat(F.col("event_type"), F.lit(" q?"), F.col("user_id"), F.lit("&x=1"))
+    enc = encode_percent(raw)
+    return ev.select(
+        "event_id",
+        enc.alias("enc"),
+        (decode_percent(enc) == raw).alias("roundtrip_ok"),
+        format_int(F.pmod("event_id", F.lit(100000)), 16).alias("hex_id"),
+    )
+
+
+@_q(
+    "ruby_hash_parser",
+    """
+    SELECT event_id, 'v' || user_id AS k, event_id AS n, NULL AS x
+    FROM events
+    """,
+)
+def q_ruby_hash_parser(spark, sf):
+    from vector_spark.functions.parse import parse_ruby_hash
+
+    ev = _t(spark, sf, "events")
+    line = F.concat(
+        F.lit('{ "k" => "v'), F.col("user_id"), F.lit('", "n" => '),
+        F.col("event_id"), F.lit(', "x" => nil }'),
+    )
+    h = parse_ruby_hash(line, "k string, n long, x string")
+    return ev.select("event_id", h["k"].alias("k"), h["n"].alias("n"), h["x"].alias("x"))
+
+
+@_q(
+    "xml_parser",
+    """
+    SELECT event_id,
+           event_type AS level,
+           'done ' || user_id AS msg,
+           event_id % 97 AS code
+    FROM events
+    """,
+)
+def q_xml_parser(spark, sf):
+    from vector_spark.functions.parse import parse_xml
+
+    ev = _t(spark, sf, "events")
+    xml = F.concat(
+        F.lit('<log level="'), F.col("event_type"), F.lit('"><msg>done '),
+        F.col("user_id"), F.lit("</msg><code>"), F.pmod("event_id", F.lit(97)),
+        F.lit("</code></log>"),
+    )
+    x = parse_xml(xml, "_level string, msg string, code long")
+    return ev.select(
+        "event_id", x["_level"].alias("level"), x["msg"].alias("msg"), x["code"].alias("code")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

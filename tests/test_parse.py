@@ -143,3 +143,81 @@ def test_ip_functions(spark):
     # round-trip
     rt = df.filter("ip != 'bogus'").select(ip_ntoa(ip_aton(F.col("ip"))).alias("rt"), "ip")
     assert rt.filter("rt != ip").count() == 0
+
+
+def test_vrl_parser_tail(spark):
+    """klog / linux auth / ALB / UA / ruby hash / xml — reference
+    examples from the respective stdlib docstrings."""
+    from vector_spark.functions.parse import (
+        parse_aws_alb_log,
+        parse_klog,
+        parse_linux_authorization,
+        parse_ruby_hash,
+        parse_user_agent,
+        parse_xml,
+    )
+
+    df = spark.createDataFrame(
+        [("I0505 17:59:40.692994   28133 klog.go:70] hello from klog",)], "l string"
+    )
+    r = df.select(*[c.alias(k) for k, c in parse_klog(F.col("l"), year=2021).items()]).collect()[0]
+    assert (r["level"], r["id"], r["file"], r["line"], r["message"]) == (
+        "info", 28133, "klog.go", 70, "hello from klog"
+    )
+    assert r["timestamp"].month == 5 and r["timestamp"].microsecond == 692994
+
+    df = spark.createDataFrame(
+        [("Mar 23 01:49:58 localhost sshd[1111]: Accepted publickey for eng",)], "l string"
+    )
+    r = df.select(
+        *[c.alias(k) for k, c in parse_linux_authorization(F.col("l"), year=2021).items()]
+    ).collect()[0]
+    assert (r["hostname"], r["appname"], r["procid"]) == ("localhost", "sshd", 1111)
+
+    alb = (
+        'http 2026-08-17T10:00:00.000000Z my-elb 10.0.0.1:54321 10.0.1.1:80 0.001 0.005 0.000 '
+        '200 200 120 512 "GET http://example.com:80/x HTTP/1.1" "curl/7.68.0" - - arn:tg "Root=1"'
+    )
+    r = spark.createDataFrame([(alb,)], "l string").select(
+        *[c.alias(k) for k, c in parse_aws_alb_log(F.col("l")).items()]
+    ).collect()[0]
+    assert r["request_method"] == "GET" and r["ssl_cipher"] is None
+    assert r["received_bytes"] == 120 and r["request_processing_time"] == 0.001
+
+    r = spark.createDataFrame(
+        [("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",)], "l string"
+    ).select(*[c.alias(k) for k, c in parse_user_agent(F.col("l")).items()]).collect()[0]
+    assert (r["browser_family"], r["browser_version"], r["device_category"], r["os_family"]) == (
+        "Firefox", "115.0", "pc", "Linux"
+    )
+
+    r = spark.createDataFrame([('{ "k" => "v", "n" => 1, "x" => nil }',)], "l string").select(
+        parse_ruby_hash(F.col("l"), "k string, n int, x string").alias("h")
+    ).collect()[0]["h"]
+    assert (r["k"], r["n"], r["x"]) == ("v", 1, None)
+
+    r = spark.createDataFrame(
+        [('<log level="info"><msg>hi</msg><code>7</code></log>',)], "l string"
+    ).select(parse_xml(F.col("l"), "_level string, msg string, code int").alias("x")).collect()[0]["x"]
+    assert (r["_level"], r["msg"], r["code"]) == ("info", "hi", 7)
+
+
+def test_percent_codec_and_format_int(spark):
+    from vector_spark.functions.strings import decode_percent, encode_percent, format_int
+
+    df = spark.createDataFrame([("foo bar?+baz",), ("héllo",)], "s string")
+    rows = df.select(
+        encode_percent(F.col("s")).alias("na"),
+        encode_percent(F.col("s"), "FRAGMENT").alias("frag"),
+        decode_percent(encode_percent(F.col("s"))).alias("rt"),
+        "s",
+    ).collect()
+    assert rows[0]["na"] == "foo%20bar%3F%2Bbaz"
+    assert rows[0]["frag"] == "foo%20bar?+baz"  # FRAGMENT keeps ? and +
+    assert rows[1]["na"] == "h%C3%A9llo"  # UTF-8 per-byte
+    for r in rows:
+        assert r["rt"] == r["s"]  # decode inverts encode, '+' preserved
+    r = spark.range(1).select(
+        format_int(F.lit(255), 16).alias("h"), format_int(F.lit(10), 2).alias("b")
+    ).collect()[0]
+    assert r["h"] == "ff" and r["b"] == "1010"

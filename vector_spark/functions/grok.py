@@ -126,6 +126,29 @@ def expand(pattern: str, patterns: dict[str, str] | None = None) -> tuple[str, l
 _SEP = "\x1f"
 
 
+def regex_extract_named(
+    col: Column, rx: str, fields: list[tuple[str, str | None]]
+) -> dict[str, Column]:
+    """Single-pass multi-group extraction: run `rx` ONCE per row
+    (anchored regexp_replace into a ␟-joined capture string + one
+    split) and return {name: Column} for each capturing group in
+    order. `fields` = [(name, spark_type|None), ...], one per group.
+    Non-matching rows and non-participating/empty groups → NULL.
+    Assumes single-line input (see grok_extract docstring)."""
+    n = len(fields)
+    ok = col.rlike(rx)
+    repl = _SEP.join(f"${i}" for i in range(1, n + 1))
+    parts = F.split(F.regexp_replace(col, f"^(?:.*?)(?:{rx})(?:.*)$", repl), _SEP, -1)
+    out: dict[str, Column] = {}
+    for idx, (name, typ) in enumerate(fields, start=1):
+        c = F.when(ok, F.element_at(parts, idx)).otherwise(F.lit(None))
+        c = F.when(c == "", F.lit(None)).otherwise(c)
+        if typ:
+            c = c.try_cast(typ)
+        out[name] = c
+    return out
+
+
 def grok_extract(col: Column, pattern: str, patterns: dict[str, str] | None = None) -> dict[str, Column]:
     """Compile a grok pattern and return {capture_name: Column} extractors.
 
@@ -146,18 +169,8 @@ def grok_extract(col: Column, pattern: str, patterns: dict[str, str] | None = No
     reach grok (multi-line assembly happens in the `merge` transform).
     """
     rx, captures = expand(pattern, patterns)
-    n = len(captures)
-    ok = col.rlike(rx)
-    repl = _SEP.join(f"${i}" for i in range(1, n + 1))
-    fields = F.split(F.regexp_replace(col, f"^(?:.*?)(?:{rx})(?:.*)$", repl), _SEP, -1)
-    out: dict[str, Column] = {}
-    for idx, (name, typ) in enumerate(captures, start=1):
-        c = F.when(ok, F.element_at(fields, idx)).otherwise(F.lit(None))
-        c = F.when(c == "", F.lit(None)).otherwise(c)
-        if typ in GROK_TYPES:
-            c = c.try_cast(GROK_TYPES[typ])
-        out[name] = c
-    return out
+    fields = [(name, GROK_TYPES.get(typ)) for name, typ in captures]
+    return regex_extract_named(col, rx, fields)
 
 
 def grok_matches(col: Column, pattern: str, patterns: dict[str, str] | None = None) -> Column:

@@ -135,7 +135,10 @@ def parse_duration(col: Column, unit: str = "s") -> Column:
         .when(suffix == "h", mag * 3600)
         .when(suffix == "d", mag * 86400)
     )
-    scale = {"ns": 1e9, "us": 1e6, "ms": 1e3, "s": 1.0, "m": 1 / 60, "h": 1 / 3600}[unit]
+    scale = {
+        "ns": 1e9, "us": 1e6, "ms": 1e3, "s": 1.0,
+        "m": 1 / 60, "h": 1 / 3600, "d": 1 / 86400,
+    }[unit]
     return to_secs * F.lit(scale)
 
 
@@ -268,3 +271,181 @@ def parse_aws_vpc_flow_log(col: Column) -> dict[str, Column]:
         c = F.when(c == "-", F.lit(None)).otherwise(c)
         out[name] = c.try_cast(typ) if typ != "string" else c
     return out
+
+
+KLOG_RX = r"^\s*(\w)((\d{2})\d{2} \d{2}:\d{2}:\d{2}\.\d{6})\s+(\d+) (.+):(\d+)\]\s(.*?)\s*$"
+_KLOG_LEVELS = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
+
+
+def parse_klog(col: Column, year: int = 2026) -> dict[str, Column]:
+    """VRL parse_klog (lib/vrl/stdlib/src/parse_klog.rs:8-21, 72-130):
+    'I0505 17:59:40.692994  28133 klog.go:70] msg' → level (mapped
+    I/W/E/F → info/warning/error/fatal), timestamp (MMDD + time, year
+    resolved externally — the reference guesses from the current date;
+    we take it as an argument for determinism), id, file, line, message.
+    Single regex pass via regex_extract_named."""
+    from vector_spark.functions.grok import regex_extract_named
+
+    raw = regex_extract_named(
+        col,
+        KLOG_RX,
+        [("level_c", None), ("mmdd_time", None), ("month", None),
+         ("id", "long"), ("file", None), ("line", "long"), ("message", None)],
+    )
+    level_map = F.create_map(*[F.lit(x) for kv in _KLOG_LEVELS.items() for x in kv])
+    ts = F.try_to_timestamp(
+        F.concat(F.lit(str(year)), raw["mmdd_time"]), F.lit("yyyyMMdd HH:mm:ss.SSSSSS")
+    )
+    return {
+        "level": F.element_at(level_map, raw["level_c"]),
+        "timestamp": ts,
+        "id": raw["id"],
+        "file": raw["file"],
+        "line": raw["line"],
+        "message": F.coalesce(raw["message"], F.when(col.rlike(KLOG_RX), F.lit(""))),
+    }
+
+
+LINUX_AUTH_RX = (
+    r"^([A-Z][a-z]{2}) +(\d{1,2}) (\d{2}:\d{2}:\d{2}) (\S+) ([^:\[\s]+)(?:\[(\d+)\])?: (.*)$"
+)
+
+
+def parse_linux_authorization(col: Column, year: int = 2026) -> dict[str, Column]:
+    """VRL parse_linux_authorization (parse_linux_authorization.rs:20-31)
+    = parse_syslog over RFC3164 auth lines: 'Mar 23 01:49:58 host
+    sshd[1111]: message' → timestamp, hostname, appname, procid,
+    message. Year is not in the line; taken as an argument."""
+    from vector_spark.functions.grok import regex_extract_named
+
+    raw = regex_extract_named(
+        col,
+        LINUX_AUTH_RX,
+        [("mon", None), ("day", None), ("time", None), ("hostname", None),
+         ("appname", None), ("procid", "long"), ("message", None)],
+    )
+    ts = F.try_to_timestamp(
+        F.concat_ws(" ", F.lit(str(year)), raw["mon"], F.lpad(raw["day"], 2, "0"), raw["time"]),
+        F.lit("yyyy MMM dd HH:mm:ss"),
+    )
+    return {
+        "timestamp": ts,
+        "hostname": raw["hostname"],
+        "appname": raw["appname"],
+        "procid": raw["procid"],
+        "message": raw["message"],
+    }
+
+
+_ALB_FIELDS = [
+    ("type", None), ("timestamp", None), ("elb", None),
+    ("client_host", None), ("target_host", None),
+    ("request_processing_time", "double"), ("target_processing_time", "double"),
+    ("response_processing_time", "double"),
+    ("elb_status_code", None), ("target_status_code", None),
+    ("received_bytes", "long"), ("sent_bytes", "long"),
+    ("request_method", None), ("request_url", None), ("request_protocol", None),
+    ("user_agent", None), ("ssl_cipher", None), ("ssl_protocol", None),
+    ("target_group_arn", None), ("trace_id", None),
+]
+
+ALB_RX = (
+    r"^([a-z0-9]+) (\S+) (\S+) (\S+) (\S+) ([0-9.-]+) ([0-9.-]+) ([0-9.-]+) "
+    r"([0-9-]+) ([0-9-]+) ([0-9-]+) ([0-9-]+) \"(\S+) (\S+) (\S+)\" "
+    r"\"([^\"]*)\" (\S+) (\S+) (\S+) \"([^\"]*)\""
+)
+
+
+def parse_aws_alb_log(col: Column) -> dict[str, Column]:
+    """VRL parse_aws_alb_log (parse_aws_alb_log.rs:118-214): the 20
+    leading fields of an ALB access log (through trace_id; the tail
+    Classic-ALB extension fields are absent from the synthetic corpus).
+    '-' fields → NULL, mirroring the reference's '-' handling; request
+    is split into method/url/protocol as the reference does. One regex
+    pass."""
+    from vector_spark.functions.grok import regex_extract_named
+
+    out = regex_extract_named(col, ALB_RX, _ALB_FIELDS)
+    for k in ("client_host", "target_host", "elb_status_code", "target_status_code",
+              "ssl_cipher", "ssl_protocol", "target_group_arn"):
+        out[k] = F.when(out[k] == "-", F.lit(None)).otherwise(out[k])
+    out["timestamp"] = F.try_to_timestamp(out["timestamp"])
+    return out
+
+
+# Fast-mode UA heuristics (family-ordered: first match wins, as in
+# woothee's classifier chain). Each entry: family, detect regex,
+# version-capture regex.
+_UA_BROWSERS = [
+    ("Edge", r"Edg(?:e|A|iOS)?/", r"Edg(?:e|A|iOS)?/([0-9.]+)"),
+    ("Opera", r"(?:Opera|OPR)[/ ]", r"(?:Opera|OPR)[/ ]([0-9.]+)"),
+    ("Firefox", r"Firefox/", r"Firefox/([0-9.]+)"),
+    ("Chrome", r"Chrom(?:e|ium)/", r"Chrom(?:e|ium)/([0-9.]+)"),
+    ("Safari", r"Version/[0-9.]+.*Safari/", r"Version/([0-9.]+)"),
+    ("Internet Explorer", r"MSIE |Trident/", r"(?:MSIE |rv:)([0-9.]+)"),
+    ("curl", r"^curl/", r"^curl/([0-9.]+)"),
+    ("bot", r"[Bb]ot|[Cc]rawler|[Ss]pider", r"/([0-9.]+)"),
+]
+
+_UA_OS = [
+    ("Android", r"Android", r"Android ([0-9.]+)"),
+    ("iOS", r"iPhone|iPad|iPod", r"OS ([0-9_]+)"),
+    ("Windows", r"Windows", r"Windows NT ([0-9.]+)"),
+    ("Mac OS X", r"Mac OS X", r"Mac OS X ([0-9_.]+)"),
+    ("Linux", r"Linux|X11", None),
+]
+
+
+def parse_user_agent(col: Column) -> dict[str, Column]:
+    """VRL parse_user_agent fast mode (parse_user_agent.rs:56-61,
+    205-214): {browser{family, version}, device{category}, os{family,
+    version}}. The reference wraps the woothee/uap classifier chains;
+    this is the same first-match-wins family chain over the dominant
+    UA families as pure Column expressions (no per-row Python). Version
+    strings keep the reference's raw form ('4_2_1' for iOS stays
+    underscore-separated in fast mode's source string)."""
+    browser_family, browser_version = F.lit(None).cast("string"), F.lit(None).cast("string")
+    for fam, detect, ver in reversed(_UA_BROWSERS):
+        hit = col.rlike(detect)
+        v = F.regexp_extract(col, ver, 1)
+        browser_family = F.when(hit, F.lit(fam)).otherwise(browser_family)
+        browser_version = F.when(hit, F.when(v == "", None).otherwise(v)).otherwise(browser_version)
+    os_family, os_version = F.lit(None).cast("string"), F.lit(None).cast("string")
+    for fam, detect, ver in reversed(_UA_OS):
+        hit = col.rlike(detect)
+        v = F.regexp_extract(col, ver, 1) if ver else F.lit("")
+        os_family = F.when(hit, F.lit(fam)).otherwise(os_family)
+        os_version = F.when(hit, F.when(v == "", None).otherwise(v)).otherwise(os_version)
+    category = (
+        F.when(col.rlike(r"[Bb]ot|[Cc]rawler|[Ss]pider"), "crawler")
+        .when(col.rlike(r"iPad|Tablet"), "tablet")
+        .when(col.rlike(r"Mobile|iPhone|Android"), "smartphone")
+        .when(col.rlike(r"Windows|Macintosh|X11|Linux"), "pc")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return {
+        "browser_family": browser_family,
+        "browser_version": browser_version,
+        "device_category": category,
+        "os_family": os_family,
+        "os_version": os_version,
+    }
+
+
+def parse_ruby_hash(col: Column, schema: str) -> Column:
+    """VRL parse_ruby_hash (parse_ruby_hash.rs): ruby hash literal
+    '{ "k" => "v", "n" => 1, "ok" => nil }' → struct. Ruby hash syntax
+    is JSON with '=>' arrows and nil — a regex rewrite + from_json
+    covers the string-keyed form the reference documents (symbol keys
+    are out of scope, as in the reference's examples)."""
+    json = F.regexp_replace(col, r"(\"(?:[^\"\\]|\\.)*\")\s*=>", r"$1:")
+    json = F.regexp_replace(json, r"\bnil\b", "null")
+    return F.from_json(json, schema)
+
+
+def parse_xml(col: Column, schema: str) -> Column:
+    """VRL parse_xml (parse_xml.rs): XML document → nested map. Spark
+    4 has a native columnar XML reader — from_xml — so the rebuild is
+    the builtin, not a UDF. Attribute fields surface with the reader's
+    `_` attributePrefix (VRL uses '@'; rename downstream if needed)."""
+    return F.from_xml(col, schema)

@@ -242,3 +242,50 @@ def sha3_(col: Column, bits: int = 256):
         return s.map(lambda x: None if x is None else fn(x.encode()).hexdigest())
 
     return _sha3(col)
+
+
+# Percent-encode sets (lib/vrl/stdlib/src/encode_percent.rs:4-44, the
+# WHATWG URL-spec sets). Each regex matches one ASCII char that the set
+# REQUIRES encoding; non-ASCII is always encoded (utf8_percent_encode
+# operates per UTF-8 byte).
+_PERCENT_SETS = {
+    "NON_ALPHANUMERIC": r"[^A-Za-z0-9]",
+    "CONTROLS": r"[\x00-\x1f\x7f]",
+    "FRAGMENT": "[\\x00-\\x1f\\x7f \"<>`]",
+    "QUERY": "[\\x00-\\x1f\\x7f \"#<>]",
+    "SPECIAL": "[\\x00-\\x1f\\x7f \"#<>']",
+    "PATH": "[\\x00-\\x1f\\x7f \"#<>?`{}]",
+    "USERINFO": "[\\x00-\\x1f\\x7f \"#<>?`{}/:;=@\\[\\\\\\]^|]",
+    "COMPONENT": "[\\x00-\\x1f\\x7f \"#<>?`{}/:;=@\\[\\\\\\]^|$%&+,]",
+    "WWW_FORM_URLENCODED": "[\\x00-\\x1f\\x7f \"#<>?`{}/:;=@\\[\\\\\\]^|$%&+,!'()~]",
+}
+
+
+def encode_percent(col: Column, ascii_set: str = "NON_ALPHANUMERIC") -> Column:
+    """VRL encode_percent (encode_percent.rs): percent-encode chars in
+    the chosen WHATWG set (uppercase hex, UTF-8 bytes for non-ASCII).
+    Pure expressions: explode to chars (split on ''), per-char hex via
+    hex(encode(c)), '%' inserted every byte pair — no Python UDF."""
+    set_rx = _PERCENT_SETS[ascii_set]
+    chars = F.split(col, "")
+    def enc(c: Column) -> Column:
+        needs = c.rlike(set_rx) | ~c.rlike("^[\\x00-\\x7f]$")
+        return F.when(
+            needs, F.regexp_replace(F.hex(F.encode(c, "UTF-8")), "(..)", r"%$1")
+        ).otherwise(c)
+    return F.when(col.isNotNull(), F.concat_ws("", F.transform(chars, enc)))
+
+
+def decode_percent(col: Column) -> Column:
+    """VRL decode_percent: %XX → bytes. Spark's url_decode also maps
+    '+' → space (form decoding), which VRL does NOT — protect '+' as
+    %2B first so it round-trips verbatim."""
+    return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
+
+def format_int(col: Column, base: int = 10) -> Column:
+    """VRL format_int: integer → string in `base` (format_int.rs).
+    conv() uppercases digits >9; VRL emits lowercase — normalize."""
+    if base == 10:
+        return col.cast("string")
+    return F.lower(F.conv(col.cast("string"), 10, base))
