@@ -1894,6 +1894,58 @@ def q_xml_parser(spark, sf):
     )
 
 
+# ---- embedding near-dup, LSH scale path ------------------------------
+# The oracle reproduces the hyperplane-sign buckets bit-for-bit: plane
+# components are ±1, so each dot is (sum over +1 indices) − (sum over
+# −1 indices) in float64 — sign decisions agree with Spark's HOF fold
+# to ~1e-12, far beyond any realistic flip margin.
+
+
+def _lsh_bucket_sql(band: int, dim: int = 64, band_planes: int = 8) -> str:
+    from vector_spark.training.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, band_planes, seed=1000 + band)
+    terms = []
+    for i, plane in enumerate(planes):
+        pos = [d + 1 for d, c in enumerate(plane) if c > 0]
+        neg = [d + 1 for d, c in enumerate(plane) if c < 0]
+        dot = (
+            f"(list_sum(list_transform({pos}, i -> CAST(embedding[i] AS DOUBLE)))"
+            f" - list_sum(list_transform({neg}, i -> CAST(embedding[i] AS DOUBLE))))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@_q(
+    "embedding_neardup_lsh",
+    f"""
+    WITH b AS (
+      SELECT vec_id,
+             {_lsh_bucket_sql(0)} AS bucket0,
+             {_lsh_bucket_sql(1)} AS bucket1
+      FROM embeddings),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM b x JOIN b y
+        ON x.vec_id < y.vec_id
+       AND (x.bucket0 = y.bucket0 OR x.bucket1 = y.bucket1))
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(ea.embedding, eb.embedding), 4) AS cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.35
+    """,
+)
+def q_embedding_neardup_lsh(spark, sf):
+    from vector_spark.training.similarity import lsh_near_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = lsh_near_pairs(emb, threshold=0.35, dim=64, n_bands=2, band_planes=8)
+    return pairs.select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -1,0 +1,38 @@
+"""Behavior-test suite: the `vector test` analogue.
+
+Each tests/behavior/*.toml mirrors the same-named reference file from
+/root/reference/tests/behavior/transforms/ (20 of 22 mirrored; lua_v1/
+lua_v2 are out of scope — the runtime-transform escape hatch is
+applyInPandasWithState, covered in test_streaming.py). Conditions are
+SQL predicates; nested field paths flatten to underscore columns per
+SURVEY §1.3.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+BEHAVIOR_DIR = pathlib.Path(__file__).parent / "behavior"
+FILES = sorted(BEHAVIOR_DIR.glob("*.toml"))
+
+
+@pytest.mark.parametrize("path", FILES, ids=[p.stem for p in FILES])
+def test_behavior(spark, path):
+    from vector_spark.plans.unit_test import assert_unit_tests
+
+    assert_unit_tests(spark, path.read_text())
+
+
+def test_all_reference_files_mirrored():
+    """Every reference behavior file is either mirrored or explicitly
+    declared out of scope."""
+    ref = pathlib.Path("/root/reference/tests/behavior/transforms")
+    if not ref.is_dir():  # reference absent in some environments
+        pytest.skip("reference checkout not present")
+    ref_names = {p.stem for p in ref.glob("*.toml")}
+    ours = {p.stem for p in FILES}
+    out_of_scope = {"lua_v1", "lua_v2"}
+    missing = ref_names - ours - out_of_scope
+    assert not missing, f"unmirrored behavior files: {sorted(missing)}"

@@ -54,6 +54,13 @@ def test_first_run_then_full_resume(spark, corpus_dir, tmp_path):
     r2 = run_with_checkpoint(spark, corpus_dir, enrich, out, ck)
     assert len(r2.partitions_skipped) == 8 and not r2.partitions_run
     assert r2.lane_counts == r1.lane_counts
+    # per-lane metrics are restored from the checkpoint record too —
+    # a resumed result is complete, not counts-only
+    assert {k: sorted(v) for k, v in r2.metrics.items()} == {
+        k: sorted(v) for k, v in r1.metrics.items()
+    }
+    # rows_in comes from the pipeline's cached parse (no re-count scan)
+    assert all(rec["rows_in"] > 0 for rec in state.values())
 
 
 def test_partial_resume_reruns_only_invalidated(spark, corpus_dir, tmp_path):

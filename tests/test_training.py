@@ -179,3 +179,42 @@ def test_ivf_topk_exact_and_recall(spark):
     approx = {(r["qid"], r["cid"]) for r in ivf_topk(q, c, k=5, n_cells=8, nprobe=3).collect()}
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_lsh_near_pairs_recall(spark):
+    """LSH-banded near-dup pairs: precision 1.0 by construction (exact
+    verify) and recall >= 0.9 vs all-pairs truth on clustered vectors,
+    with no cartesian product in the plan."""
+    import numpy as np
+
+    from vector_spark.training.similarity import all_pairs_neardup, lsh_near_pairs
+
+    rng = np.random.RandomState(3)
+    dim, rows = 16, []
+    vid = 0
+    for c in range(10):  # 10 clusters of 6 near-identical vectors
+        center = rng.randn(dim)
+        for _ in range(6):
+            v = center + 0.05 * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v.astype("float32")]))
+            vid += 1
+    for _ in range(40):  # background noise
+        rows.append((vid, [float(x) for x in rng.randn(dim).astype("float32")]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in all_pairs_neardup(emb, threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_pairs(emb, threshold=0.9, dim=dim, n_bands=4, band_planes=8).collect()
+    }
+    assert got <= truth  # exact verify → perfect precision
+    assert truth, "fixture produced no near pairs"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.2f}"
+
+    plan = lsh_near_pairs(emb, 0.9, dim=dim)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -27,6 +27,16 @@ from vector_spark.operators.base import Transform
 DEFAULT_MATCH_FIELDS = ["ts", "host", "message"]  # Vector defaults: timestamp, host, message
 
 
+def typed_key(col) -> "F.Column":
+    """Vector's dedupe key is (type-tag, bytes) — string "1" ≠ int 1
+    (dedupe.rs:126-129). In a fixed-schema DataFrame every column has
+    exactly one type, so the tag is implied by the schema and plain
+    column keys already satisfy the contract. For a DYNAMIC column
+    (variant / parsed-JSON string that may hold either), wrap it with
+    this helper to restore the type tag explicitly."""
+    return F.struct(F.typeof(col).alias("t"), col.cast("string").alias("v"))
+
+
 class Dedupe(Transform):
     def __init__(
         self,

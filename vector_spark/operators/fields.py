@@ -70,6 +70,10 @@ class RenameFields(Transform):
 
     def apply(self, df: DataFrame) -> DataFrame:
         for old, new in self.mapping.items():
+            if new in df.columns and new != old:
+                # rename replaces an existing target field
+                # (rename_fields.rs: insert overwrites on conflict)
+                df = df.drop(new)
             df = df.withColumnRenamed(old, new)
         return df
 
@@ -114,9 +118,23 @@ class Concat(Transform):
         parts = []
         for field, start, end in self.items:
             c = F.col(field).cast("string")
-            if start is not None:
-                length = (end - start) if end is not None else (1 << 30)
-                c = F.substring(c, start + 1, length)
+            if start is not None or end is not None:
+                # python-like slice semantics incl. negative / open
+                # bounds ("second[-2..]", "e.f[..3]", concat.rs:15-19)
+                ln = F.length(c)
+                if start is None:
+                    s = F.lit(0)
+                elif start >= 0:
+                    s = F.lit(start)
+                else:
+                    s = F.greatest(ln + start, F.lit(0))
+                if end is None:
+                    e = ln
+                elif end >= 0:
+                    e = F.least(F.lit(end), ln)
+                else:
+                    e = ln + end
+                c = c.substr(s + 1, F.greatest(e - s, F.lit(0)))
             parts.append(c)
         return df.withColumn(self.target, F.concat_ws(self.joiner, *parts))
 

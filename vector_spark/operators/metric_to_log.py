@@ -37,6 +37,9 @@ class MetricToLog(Transform):
         self.host_tag, self.timestamp_col = host_tag, timestamp_col
 
     def apply(self, df: DataFrame) -> DataFrame:
+        def col_or(name: str, default: str) -> Column:
+            return F.col(name) if name in df.columns else F.lit(default)
+
         ts_us = F.unix_micros(F.col(self.timestamp_col).cast("timestamp"))
         val_json = (
             F.when(F.col("value").isNotNull(), F.format_string("%.4f", F.col("value")))
@@ -63,11 +66,11 @@ class MetricToLog(Transform):
             sets_json = F.lit("")
         message = F.concat(
             F.lit('{"name":"'), F.col("name"),
-            F.lit('","namespace":"'), F.col("namespace"),
+            F.lit('","namespace":"'), col_or("namespace", "vector"),
             F.lit('","tags":'), _tags_json(F.col("tags")),
             F.lit(',"ts":'), ts_us.cast("string"),
-            F.lit(',"kind":"'), F.col("kind"),
-            F.lit('","value_type":"'), F.col("value_type"),
+            F.lit(',"kind":"'), col_or("kind", "absolute"),
+            F.lit('","value_type":"'), col_or("value_type", "gauge"),
             F.lit('","value":'), val_json,
             sets_json,
             F.lit("}"),

@@ -115,8 +115,15 @@ def _t_json_parser(df, cfg):
     parsed = parse_json_map(F.col(fld))
     if target:
         return df.withColumn(target, parsed)
-    # merge keys at root requires a known key list in columnar form
-    keys = cfg.get("keys") or []
+    # merge keys at root requires a known key list in columnar form —
+    # the reference's default merges ALL parsed keys into the event
+    # root, which needs the key list up front in a columnar engine, so
+    # an empty config is a compile error rather than a silent no-op
+    keys = cfg.get("keys")
+    if not keys:
+        raise ConfigError(
+            "json_parser needs `target_field` (map column) or `keys` (promote list)"
+        )
     out = df
     for k in keys:
         out = out.withColumn(k, F.element_at(parsed, k))
@@ -124,10 +131,25 @@ def _t_json_parser(df, cfg):
 
 
 def _t_regex_parser(df, cfg):
+    import re as _re
+
     from vector_spark.operators.remap import RegexParser
 
+    patterns = []
+    for entry in cfg["patterns"]:
+        if isinstance(entry, str):
+            # reference shape: Rust-style named captures in the pattern.
+            # Java regex rejects (?P<...> and underscores in group
+            # names, so strip the names to plain groups and address
+            # them positionally via Python's groupindex.
+            groups = dict(_re.compile(entry).groupindex)
+            java_rx = _re.sub(r"\(\?P<\w+>", "(", entry)
+            patterns.append((java_rx, groups))
+        else:
+            p, g = entry
+            patterns.append((p, {k: int(v) for k, v in g.items()}))
     return RegexParser(
-        [(p, {k: int(v) for k, v in g.items()}) for p, g in cfg["patterns"]],
+        patterns,
         field=cfg.get("field", "message"),
         types=cfg.get("types", {}),
     ).apply(df)
@@ -166,7 +188,175 @@ def _t_aggregate(df, cfg):
     return df.groupBy(*group).agg(*aggs)
 
 
+def _t_remap(df, cfg):
+    """VRL remap as SQL expressions: `exprs = {target = "sql expr"}`.
+    The SQL-expression surface is our VRL program analogue (SURVEY
+    §2.4); drop_on_error filters rows where any output is null."""
+    from vector_spark.operators.remap import Remap
+
+    outputs = {name: F.expr(sql) for name, sql in cfg["exprs"].items()}
+    success = F.expr(cfg["success"]) if "success" in cfg else None
+    return Remap(
+        outputs, success=success, drop_on_error=bool(cfg.get("drop_on_error", False))
+    ).apply(df)
+
+
+def _parse_concat_item(item: str):
+    """'field', 'field[a..b]', 'field[-2..]', 'field[..3]' — the
+    concat.rs substring-item grammar with open/negative bounds."""
+    import re as _re
+
+    m = _re.match(r"^(\w+)(?:\[(-?\d*)\.\.(-?\d*)\])?$", item)
+    if not m:
+        raise ConfigError(f"bad concat item {item!r}")
+    name, a, b = m.groups()
+    return (name, int(a) if a else None, int(b) if b else None)
+
+
+def _t_concat(df, cfg):
+    from vector_spark.operators.fields import Concat
+
+    items = [_parse_concat_item(i) for i in cfg["items"]]
+    return Concat(cfg["target"], items, joiner=cfg.get("joiner", " ")).apply(df)
+
+
+def _t_key_value_parser(df, cfg):
+    from vector_spark.operators.remap import KeyValueParser
+
+    return KeyValueParser(
+        field=cfg.get("field", "message"),
+        separator=cfg.get("separator", " "),
+        field_split=cfg.get("field_split", "="),
+        target_field=cfg.get("target_field", "attrs"),
+        promote=cfg.get("promote"),
+        drop_failed=bool(cfg.get("drop_failed", False)),
+    ).apply(df)
+
+
+def _t_logfmt_parser(df, cfg):
+    from vector_spark.functions.parse import parse_logfmt
+    from vector_spark.functions.strings import to_bool
+
+    m = parse_logfmt(F.col(cfg.get("field", "message")))
+    types = cfg.get("types", {})
+    out = df.withColumn(cfg.get("target_field", "attrs"), m)
+    for k in [*cfg.get("promote", []), *types]:
+        c = F.element_at(m, k)
+        t = types.get(k)
+        if t in ("bool", "boolean"):
+            c = to_bool(c)
+        elif t and t != "string":
+            c = c.try_cast({"int": "long", "float": "double"}.get(t, t))
+        out = out.withColumn(k, c)
+    return out
+
+
+def _t_split(df, cfg):
+    from vector_spark.operators.remap import Split
+
+    return Split(
+        cfg["field_names"],
+        field=cfg.get("field", "message"),
+        separator=cfg.get("separator", r"\s+"),
+        types=cfg.get("types"),
+    ).apply(df)
+
+
+def _t_tokenizer(df, cfg):
+    from vector_spark.operators.remap import Tokenizer
+
+    return Tokenizer(
+        cfg["field_names"],
+        field=cfg.get("field", "message"),
+        types=cfg.get("types"),
+        drop_field=bool(cfg.get("drop_field", False)),
+    ).apply(df)
+
+
+def _t_merge(df, cfg):
+    from vector_spark.operators.merge import MergePartials
+
+    return MergePartials(
+        cfg.get("merge_fields", ["message"]),
+        stream_discriminant=cfg.get("stream_discriminant", ["host"]),
+        partial_marker=cfg.get("partial_event_marker_field", "_partial"),
+        order_by=cfg.get("order_by", "ts"),
+    ).apply(df)
+
+
+def _t_reduce(df, cfg):
+    from vector_spark.operators.reduce import Reduce
+
+    return Reduce(
+        cfg["group_by"],
+        cfg.get("merge_strategies", {}),
+        order_by=cfg.get("order_by", "ts"),
+    ).apply(df)
+
+
+def _t_log_to_metric(df, cfg):
+    from vector_spark.operators.log_to_metric import LogToMetric, MetricSpec
+
+    specs = [
+        MetricSpec(
+            type=m["type"],
+            field=m["field"],
+            name=m.get("name"),
+            namespace=m.get("namespace", "vector"),
+            increment_by_value=bool(m.get("increment_by_value", False)),
+            tags=m.get("tags"),
+        )
+        for m in cfg["metrics"]
+    ]
+    return LogToMetric(specs).apply(df)
+
+
+def _t_tag_cardinality_limit(df, cfg):
+    from vector_spark.operators.tag_cardinality_limit import (
+        MapTagCardinalityLimit,
+        TagCardinalityLimit,
+    )
+
+    if "keys" in cfg:
+        return MapTagCardinalityLimit(
+            cfg["keys"],
+            value_limit=int(cfg.get("value_limit", 500)),
+            action=cfg.get("limit_exceeded_action", "drop_tag"),
+            tags_col=cfg.get("tags_col", "tags"),
+            ts_col=cfg.get("ts_col", "ts"),
+        ).apply(df)
+    return TagCardinalityLimit(
+        cfg["tag"],
+        value_limit=int(cfg.get("value_limit", 500)),
+        action=cfg.get("limit_exceeded_action", "drop_tag"),
+        ts_col=cfg.get("ts_col", "ts"),
+    ).apply(df)
+
+
+def _t_enrich(df, cfg):
+    """Enrichment-table broadcast join from inline rows or a parquet
+    path (SURVEY §2.6; src/enrichment_tables/file.rs)."""
+    from vector_spark.enrich import EnrichmentTable
+
+    spark = df.sparkSession
+    tbl = cfg["table"]
+    if "path" in tbl:
+        dim = spark.read.parquet(tbl["path"])
+    else:
+        dim = spark.createDataFrame(tbl["rows"], tbl["schema"])
+    return EnrichmentTable(
+        dim, keys=cfg["keys"], case_insensitive=bool(cfg.get("case_insensitive", False))
+    ).enrich(df)
+
+
+def _t_passthrough(df, cfg):
+    """Identity — used by compound expansion to alias the chain's tail
+    to the compound's own name."""
+    return df
+
+
 TRANSFORMS = {
+    "passthrough": _t_passthrough,
     "filter": _t_filter,
     "field_filter": _t_field_filter,
     "sample": _t_sample,
@@ -180,6 +370,17 @@ TRANSFORMS = {
     "grok_parser": _t_grok_parser,
     "ansi_stripper": _t_ansi_stripper,
     "aggregate": _t_aggregate,
+    "remap": _t_remap,
+    "concat": _t_concat,
+    "key_value_parser": _t_key_value_parser,
+    "logfmt_parser": _t_logfmt_parser,
+    "split": _t_split,
+    "tokenizer": _t_tokenizer,
+    "merge": _t_merge,
+    "reduce": _t_reduce,
+    "log_to_metric": _t_log_to_metric,
+    "tag_cardinality_limit": _t_tag_cardinality_limit,
+    "enrich": _t_enrich,
 }
 
 
@@ -221,25 +422,10 @@ class CompiledTopology:
         return results
 
 
-def compile_config(spark: SparkSession, config: dict | str) -> CompiledTopology:
-    if isinstance(config, str):
-        import tomllib
-
-        config = tomllib.loads(config)
-
-    sources = config.get("sources", {})
-    transforms = config.get("transforms", {})
-    sinks = config.get("sinks", {})
-
-    # 1. name validation
-    seen: set[str] = set()
-    for name in [*sources, *transforms, *sinks]:
-        if name in seen:
-            raise ConfigError(f"duplicate component name {name!r}")
-        seen.add(name)
-
-    # 2. macro expansion: route → one virtual output per lane;
-    #    compound → serial chain of steps
+def expand_macros(transforms: dict) -> dict:
+    """Macro expansion (compiler.rs:105-151): `route` → one filter per
+    lane + `name._unmatched`; `compound` → serial step chain ending at
+    the compound's own name."""
     expanded: dict[str, dict] = {}
     for name, cfg in transforms.items():
         kind = cfg.get("type")
@@ -260,11 +446,91 @@ def compile_config(spark: SparkSession, config: dict | str) -> CompiledTopology:
             prev_inputs = cfg.get("inputs", [])
             steps = cfg["steps"]
             for i, step in enumerate(steps):
-                step_name = f"{name}.{i}" if i < len(steps) - 1 else name
-                expanded[step_name] = {**step, "inputs": prev_inputs}
+                step_name = f"{name}.{step['id']}" if "id" in step else f"{name}.{i}"
+                expanded[step_name] = {
+                    **{k: v for k, v in step.items() if k != "id"},
+                    "inputs": prev_inputs,
+                }
                 prev_inputs = [step_name]
+            # the compound's own name aliases the chain tail (compound.rs:58)
+            expanded[name] = {"type": "passthrough", "inputs": prev_inputs}
         else:
             expanded[name] = cfg
+    return expanded
+
+
+def interpolate_env(text: str, env: dict[str, str] | None = None) -> str:
+    """Env-var interpolation, mirroring src/config/vars.rs: `$VAR`,
+    `${VAR}` and `${VAR:-default}`; unknown vars → empty string (the
+    reference warns and substitutes "")."""
+    import os
+    import re as _re
+
+    env = env if env is not None else dict(os.environ)
+    rx = _re.compile(r"\$\$|\$(\w+)|\$\{(\w+)(?::-([^}]*))?\}")
+
+    def sub(m: _re.Match) -> str:
+        if m.group(0) == "$$":
+            return "$"
+        name = m.group(1) or m.group(2)
+        default = m.group(3) or ""
+        return env.get(name, default)
+
+    return rx.sub(sub, text)
+
+
+def _expand_input_globs(inputs: list[str], names: list[str]) -> list[str]:
+    """Glob expansion of `inputs` entries against component names
+    (src/config/compiler.rs:154-178): 'parse_*' matches every component
+    whose name fits; non-glob entries pass through verbatim (unknown
+    names surface as compile errors downstream, as in the reference)."""
+    import fnmatch
+
+    out: list[str] = []
+    for pat in inputs:
+        if any(ch in pat for ch in "*?["):
+            matches = [n for n in names if fnmatch.fnmatchcase(n, pat)]
+            if not matches:
+                raise ConfigError(f"input glob {pat!r} matched no components")
+            out.extend(matches)
+        else:
+            out.append(pat)
+    return out
+
+
+def compile_config(
+    spark: SparkSession, config: dict | str, env: dict[str, str] | None = None
+) -> CompiledTopology:
+    if isinstance(config, str):
+        import tomllib
+
+        config = tomllib.loads(interpolate_env(config, env))
+
+    sources = config.get("sources", {})
+    transforms = config.get("transforms", {})
+    sinks = config.get("sinks", {})
+
+    # 1. name validation
+    seen: set[str] = set()
+    for name in [*sources, *transforms, *sinks]:
+        if name in seen:
+            raise ConfigError(f"duplicate component name {name!r}")
+        seen.add(name)
+
+    # 2. macro expansion: route → one virtual output per lane;
+    #    compound → serial chain of steps
+    expanded = expand_macros(transforms)
+
+    # input glob expansion against post-macro component names
+    all_names = [*sources, *expanded]
+    expanded = {
+        name: {**cfg, "inputs": _expand_input_globs(cfg.get("inputs", []), all_names)}
+        for name, cfg in expanded.items()
+    }
+    sinks = {
+        name: {**cfg, "inputs": _expand_input_globs(cfg.get("inputs", []), all_names)}
+        for name, cfg in sinks.items()
+    }
 
     # 3+4. resolve the DAG with cycle/unknown-input checks (DFS)
     built: dict[str, DataFrame] = {}

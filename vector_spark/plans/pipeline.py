@@ -156,6 +156,7 @@ def run_pipeline(
     salted: bool = True,
     with_unmatched: bool = True,
     sink_layout: str = "fanout",
+    sink=None,
 ) -> PipelineResult:
     """Execute the full topology.
 
@@ -176,7 +177,10 @@ def run_pipeline(
     """
     from vector_spark.enrich import EnrichmentTable
     from vector_spark.operators.route import Route
+    from vector_spark.sinks.writer import ParquetSink
 
+    if sink is None:
+        sink = ParquetSink()
     t0 = time.time()
     parsed = parse_stage(df)
     if enrichment is not None:
@@ -187,7 +191,7 @@ def run_pipeline(
 
     if out_dir and sink_layout == "tagged":
         tagged = router.tagged(parsed).drop("parse_ok")
-        tagged.write.mode("overwrite").partitionBy("lane", "source").parquet(f"{out_dir}/data")
+        sink.write(tagged, f"{out_dir}/data", ["lane", "source"])
         agg = (
             salted_sink_aggregate(tagged, extra_keys=["lane"])
             if salted
@@ -195,9 +199,14 @@ def run_pipeline(
                 F.count(F.lit(1)).alias("n_events"), F.sum("n_tok").alias("sum_n_tok")
             )
         )
-        agg.write.mode("overwrite").partitionBy("lane").parquet(f"{out_dir}/metrics")
+        # one aggregate job: collect the (tiny) result, then write the
+        # metrics table from the collected rows — the tagged DAG is not
+        # rebuilt from the source for a second action
+        agg_rows = agg.collect()
+        metrics_df = spark.createDataFrame(agg_rows, agg.schema)
+        sink.write(metrics_df, f"{out_dir}/metrics", ["lane"])
         result = PipelineResult()
-        for r in agg.collect():
+        for r in agg_rows:
             result.lane_counts[r["lane"]] = result.lane_counts.get(r["lane"], 0) + r["n_events"]
             result.metrics.setdefault(r["lane"], []).append(
                 (r["source"], r["severity"], r["n_events"], r["sum_n_tok"])
@@ -242,12 +251,13 @@ def run_pipeline(
     try:
         routed = router.apply(parsed)
         result = PipelineResult()
+        # rows_in from the cached parse — no second scan of the input
+        # (checkpoint.py consumes this instead of re-counting)
+        result.rows_in = parsed.count()
         for name, lane_df in routed.items():
             agg = salted_sink_aggregate(lane_df) if salted else sink_aggregate(lane_df)
-            lane_df.drop("parse_ok").write.mode("overwrite").partitionBy("source").parquet(
-                f"{out_dir}/lane={name}/data"
-            )
-            agg.write.mode("overwrite").parquet(f"{out_dir}/lane={name}/metrics")
+            sink.write(lane_df.drop("parse_ok"), f"{out_dir}/lane={name}/data", ["source"])
+            sink.write(agg, f"{out_dir}/lane={name}/metrics")
             # counts come from the (small) metric table, not a sink
             # re-read: an empty lane writes no parquet footers at all
             rows = agg.collect()

@@ -1,0 +1,224 @@
+"""`vector test` behavior-test harness over the config compiler.
+
+Mirrors the reference unit-test runner
+(/root/reference/src/config/unit_test.rs:15-180 — UnitTest{inputs,
+checks, no_outputs_from}, UnitTestCheck{extract_from, conditions}) and
+the behavior-test TOML shape
+(/root/reference/tests/behavior/transforms/*.toml):
+
+    [transforms.x]
+      inputs = []
+      type = "add_fields"
+      ...
+    [[tests]]
+      name = "case"
+      [tests.input]            # or [[tests.inputs]] for several
+        insert_at = "x"
+        type = "raw"           # raw → {message}, log → log_fields map
+        value = "..."
+      [[tests.outputs]]
+        extract_from = "x"
+        [[tests.outputs.conditions]]
+          type = "sql"         # the reference's `vrl`; ours is a SQL
+          source = "a = 1 AND b = 'x'"    # boolean predicate
+      no_outputs_from = ["y"]  # optional: these components emit nothing
+
+Execution: each test compiles the shared transform topology with the
+test's input events spliced in as an inline source at every
+`insert_at` point (the reference builds the interpolated config the
+same way), resolves each `extract_from` output, and evaluates every
+condition as a SQL predicate over the extracted rows. A check passes
+when ≥1 row arrives and every row satisfies every condition;
+`no_outputs_from` passes when the component yields zero rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.plans.config import (
+    TRANSFORMS,
+    ConfigError,
+    expand_macros,
+    interpolate_env,
+)
+
+
+@dataclass
+class CheckResult:
+    extract_from: str
+    n_rows: int
+    failures: list[str]  # failed condition sources (or harness errors)
+
+    @property
+    def ok(self) -> bool:
+        return not self.failures
+
+
+@dataclass
+class UnitTestResult:
+    name: str
+    checks: list[CheckResult] = field(default_factory=list)
+    errors: list[str] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return not self.errors and all(c.ok for c in self.checks)
+
+
+def _input_rows(inp: dict) -> tuple[list[dict], str | None]:
+    """One test-input block → (rows, schema)."""
+    kind = inp.get("type", "raw")
+    if kind == "raw":
+        return [{"message": inp.get("value", "")}], "message string"
+    if kind == "log":
+        rows = inp.get("log_fields", {})
+        return [rows], None  # schema inferred from values
+    if kind == "rows":  # extension: multiple typed rows
+        return inp["rows"], inp.get("schema")
+    raise ConfigError(f"unknown test input type {kind!r}")
+
+
+def run_unit_tests(
+    spark: SparkSession, config: dict | str, env: dict[str, str] | None = None
+) -> list[UnitTestResult]:
+    """Run every [[tests]] block; returns one result per test."""
+    import tomllib
+
+    if isinstance(config, str):
+        config = tomllib.loads(interpolate_env(config, env))
+
+    raw_transforms = config.get("transforms", {})
+    transforms = expand_macros(raw_transforms)
+
+    def _injection_targets(at: str) -> list[str]:
+        """insert_at on a macro transform means "feed the macro's
+        input": a route fans the event to every lane; a compound feeds
+        its first step (unit_test.rs splices inputs the same way)."""
+        cfg = raw_transforms.get(at, {})
+        if cfg.get("type") == "route":
+            return [f"{at}.{lane}" for lane in cfg["route"]] + [f"{at}._unmatched"]
+        if cfg.get("type") == "compound":
+            first = cfg["steps"][0]
+            return [f"{at}.{first['id']}" if "id" in first else f"{at}.0"]
+        return [at]
+
+    tests = config.get("tests", [])
+    results: list[UnitTestResult] = []
+
+    for t in tests:
+        res = UnitTestResult(name=t.get("name", "<unnamed>"))
+        inputs = t.get("inputs") or ([t["input"]] if "input" in t else [])
+        if not inputs:
+            res.errors.append("test has no inputs")
+            results.append(res)
+            continue
+
+        # insert_at → input DataFrame (several inputs to one point union)
+        injected: dict[str, DataFrame] = {}
+        try:
+            for inp in inputs:
+                rows, schema = _input_rows(inp)
+                df = spark.createDataFrame(rows, schema)
+                for at in _injection_targets(inp["insert_at"]):
+                    injected[at] = (
+                        injected[at].unionByName(df, allowMissingColumns=True)
+                        if at in injected
+                        else df
+                    )
+        except ConfigError as e:
+            res.errors.append(str(e))
+            results.append(res)
+            continue
+
+        built: dict[str, DataFrame] = {}
+        building: set[str] = set()
+
+        def resolve(name: str, injected=injected, built=built, building=building) -> DataFrame:
+            if name in built:
+                return built[name]
+            if name in building:
+                raise ConfigError(f"cycle through {name!r}")
+            if name not in transforms:
+                raise ConfigError(f"unknown component {name!r}")
+            cfg = transforms[name]
+            building.add(name)
+            try:
+                if name in injected:
+                    df = injected[name]
+                else:
+                    ups = [resolve(i) for i in cfg.get("inputs", [])]
+                    if not ups:
+                        raise ConfigError(
+                            f"{name!r} has no inputs and no test input inserted"
+                        )
+                    df = ups[0]
+                    for o in ups[1:]:
+                        df = df.unionByName(o, allowMissingColumns=True)
+            finally:
+                building.discard(name)
+            try:
+                builder = TRANSFORMS[cfg["type"]]
+            except KeyError:
+                raise ConfigError(f"unknown transform type {cfg.get('type')!r}") from None
+            out = builder(df, cfg)
+            built[name] = out
+            return out
+
+        for check in t.get("outputs", []):
+            src = check["extract_from"]
+            try:
+                rows = resolve(src).collect()
+            except Exception as e:  # compile errors fail the check, not the suite
+                res.checks.append(CheckResult(src, 0, [f"resolve error: {e}"]))
+                continue
+            failures: list[str] = []
+            if not rows:
+                failures.append("no events extracted")
+            else:
+                out_df = spark.createDataFrame(rows, resolve(src).schema)
+                for cond in check.get("conditions", []):
+                    if cond.get("type", "sql") not in ("sql", "vrl"):
+                        failures.append(f"unsupported condition type {cond.get('type')!r}")
+                        continue
+                    # reference semantics (unit_test.rs:234-258): a
+                    # condition passes when AT LEAST ONE output event
+                    # satisfies it
+                    pred = cond["source"]
+                    n_ok = out_df.filter(F.coalesce(F.expr(pred), F.lit(False))).count()
+                    if n_ok == 0:
+                        failures.append(pred)
+            res.checks.append(CheckResult(src, len(rows), failures))
+
+        for src in t.get("no_outputs_from", []):
+            try:
+                n = len(resolve(src).take(1))
+            except Exception as e:
+                res.checks.append(CheckResult(src, 0, [f"resolve error: {e}"]))
+                continue
+            res.checks.append(
+                CheckResult(src, n, [] if n == 0 else [f"expected no outputs from {src!r}"])
+            )
+        results.append(res)
+
+    return results
+
+
+def assert_unit_tests(spark: SparkSession, config: dict | str) -> None:
+    """pytest helper: raise AssertionError with a readable report."""
+    results = run_unit_tests(spark, config)
+    bad = [r for r in results if not r.ok]
+    if bad:
+        lines = []
+        for r in bad:
+            lines.append(f"test {r.name!r} FAILED")
+            lines.extend(f"  error: {e}" for e in r.errors)
+            for c in r.checks:
+                if not c.ok:
+                    lines.append(f"  extract_from {c.extract_from} ({c.n_rows} rows):")
+                    lines.extend(f"    condition failed: {f}" for f in c.failures)
+        raise AssertionError("\n".join(lines))
+    assert results, "no [[tests]] blocks found"

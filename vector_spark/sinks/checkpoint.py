@@ -135,6 +135,10 @@ def run_with_checkpoint(
             rec = ckpt.state[pid]
             for lane, n in rec.get("lane_counts", {}).items():
                 result.lane_counts[lane] = result.lane_counts.get(lane, 0) + n
+            # metrics are persisted in the record so a resumed run's
+            # result is complete, not just its counts
+            for lane, rows in rec.get("metrics", {}).items():
+                result.metrics.setdefault(lane, []).extend(tuple(r) for r in rows)
             continue
 
         t0 = time.time()
@@ -148,6 +152,8 @@ def run_with_checkpoint(
         part_out = f"{out_dir}/part={pid}"
         r = run_pipeline(spark, df, enrichment=enrichment, out_dir=part_out, salted=salted)
         wall_ms = int((time.time() - t0) * 1000)
+        # run_pipeline counts rows_in on its cached parse; the fallback
+        # count only triggers for layouts that never materialize one
         rows_in = r.rows_in or df.count()
         ckpt.record(
             pid,
@@ -157,6 +163,7 @@ def run_with_checkpoint(
             rows_in=rows_in,
             rows_routed=r.rows_routed,
             lane_counts=r.lane_counts,
+            metrics={lane: [list(m) for m in rows] for lane, rows in r.metrics.items()},
             wall_ms=wall_ms,
             rows_per_sec=round(rows_in * 1000.0 / max(wall_ms, 1), 1),
             finished_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

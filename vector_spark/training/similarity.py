@@ -278,3 +278,54 @@ def ivf_topk(
     ).dropDuplicates([q_id, c_id])
     w = Window.partitionBy(q_id).orderBy(F.col("cos_raw").desc(), F.col(c_id))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def lsh_near_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_bands: int = 4,
+    band_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup PAIRS at scale: LSH banding instead of the all-pairs
+    scan. Each band hashes every vector to a `band_planes`-bit
+    hyperplane-sign bucket (independent plane set per band, seeded by
+    band index); same-bucket pairs within ANY band become candidates
+    via a per-band equi-join — linear shuffle, no cross join and no
+    driver-side collect (the scale path `all_pairs_neardup`'s
+    broadcast-build contract can't reach). An exact cosine verify
+    keeps precision at 100%; recall is tunable with n_bands /
+    band_planes (more bands → higher recall, more candidates).
+
+    Vectors ride along through the candidate join (fine while rows are
+    ~KB); at extreme scale store the bucketed table sorted by bucket
+    and join back per side instead."""
+    pair_sets = []
+    for band in range(n_bands):
+        planes = random_hyperplanes(dim, band_planes, seed=1000 + band)
+        keyed = emb.select(
+            F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+        )
+        a = keyed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket"
+        )
+        b = keyed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket"
+        )
+        pair_sets.append(
+            a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__va", "__vb")
+        )
+    cands = pair_sets[0]
+    for p in pair_sets[1:]:
+        cands = cands.unionByName(p)
+    cos = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        cands.dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", "cos_raw")
+    )
