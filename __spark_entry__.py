@@ -1946,6 +1946,47 @@ def q_embedding_neardup_lsh(spark, sf):
     return pairs.select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
 
 
+# ---- IPv6 function family (ip6_aton/ntoa, mapped-v4, v6 CIDR) --------
+
+
+@_q(
+    "ipv6_functions",
+    """
+    SELECT event_id,
+           2306139568115548160 AS hi,
+           user_id % 65536 AS lo,
+           '2001:db8:0:0:0:0:0:' || lower(to_hex(user_id % 65536)) AS full,
+           '10.0.' || (user_id % 256) || '.7' AS v4,
+           true AS in_db8
+    FROM events
+    """,
+)
+def q_ipv6_functions(spark, sf):
+    from vector_spark.functions.ip import (
+        ip6_aton,
+        ip6_cidr_contains,
+        ip6_ntoa,
+        ipv6_to_ipv4,
+    )
+
+    ev = _t(spark, sf, "events")
+    v6 = F.concat(
+        F.lit("2001:db8::"),
+        F.lower(F.conv(F.pmod("user_id", F.lit(65536)).cast("string"), 10, 16)),
+    )
+    mapped = F.concat(F.lit("::ffff:10.0."), F.pmod("user_id", F.lit(256)), F.lit(".7"))
+    staged = ev.select("event_id", v6.alias("__v6"), mapped.alias("__m"))
+    p = ip6_aton(F.col("__v6"))
+    return staged.select(
+        "event_id",
+        p["hi"].alias("hi"),
+        p["lo"].alias("lo"),
+        ip6_ntoa(p).alias("full"),
+        ipv6_to_ipv4(F.col("__m")).alias("v4"),
+        ip6_cidr_contains(F.col("__v6"), "2001:db8::/32").alias("in_db8"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

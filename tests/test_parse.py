@@ -221,3 +221,55 @@ def test_percent_codec_and_format_int(spark):
         format_int(F.lit(255), 16).alias("h"), format_int(F.lit(10), 2).alias("b")
     ).collect()[0]
     assert r["h"] == "ff" and r["b"] == "1010"
+
+
+def test_ipv6_functions(spark):
+    import ipaddress
+
+    from vector_spark.functions.ip import (
+        ip6_aton,
+        ip6_cidr_contains,
+        ip6_ntoa,
+        ip_to_ipv6,
+        ipv6_to_ipv4,
+    )
+
+    cases = [
+        "2001:db8::1", "::1", "fe80::abcd:1234", "::ffff:192.168.1.7",
+        "2001:0db8:0000:0000:0000:ff00:0042:8329", "::", "1:2:3:4:5:6:7:8",
+        "bogus", "1::2::3", "12345::1",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "ip string")
+    rows = df.select(
+        "ip",
+        ip6_aton(F.col("ip")).alias("p"),
+        ipv6_to_ipv4(F.col("ip")).alias("v4"),
+        ip6_cidr_contains(F.col("ip"), "2001:db8::/32").alias("in_db8"),
+        ip6_ntoa(ip6_aton(F.col("ip"))).alias("full"),
+    ).collect()
+    expected = {}
+    for r in rows:
+        try:
+            n = int(ipaddress.ip_address(r["ip"]))
+            exp = (n >> 64, n & ((1 << 64) - 1))
+            exp = tuple(v - (1 << 64) if v >= (1 << 63) else v for v in exp)
+        except ValueError:
+            exp = None
+        expected[r["ip"]] = exp
+        got = (r["p"]["hi"], r["p"]["lo"]) if r["p"] else None
+        assert got == exp, r["ip"]
+    # round-trip: the emitted full text re-parses to the same halves
+    # (materialized between steps — nesting aton(ntoa(aton(.))) in one
+    # projection squares the expression tree, see ip6_aton docstring)
+    fulls = [(r["ip"], r["full"]) for r in rows if expected[r["ip"]] is not None]
+    rt_rows = spark.createDataFrame(fulls, "orig string, full string").select(
+        "orig", ip6_aton(F.col("full")).alias("p")
+    ).collect()
+    for r in rt_rows:
+        assert (r["p"]["hi"], r["p"]["lo"]) == expected[r["orig"]], r["orig"]
+    byip = {r["ip"]: r for r in rows}
+    assert byip["::ffff:192.168.1.7"]["v4"] == "192.168.1.7"
+    assert byip["2001:db8::1"]["in_db8"] and not byip["::1"]["in_db8"]
+    assert spark.range(1).select(
+        ip_to_ipv6(F.lit("10.1.2.3")).alias("m")
+    ).first()["m"] == "::ffff:10.1.2.3"

@@ -395,10 +395,13 @@ class CompiledTopology:
     sinks: dict[str, DataFrame]
     sink_configs: dict[str, dict]
     outputs: dict[str, DataFrame] = field(default_factory=dict)
+    persisted: list[DataFrame] = field(default_factory=list)
 
     def run(self) -> dict[str, object]:
         """Execute every sink; returns per-sink results (row count for
-        writes, collected rows for `memory`)."""
+        writes, collected rows for `memory`). Fan-out caches are
+        released when the run completes (no leaked blocks across
+        repeated runs in one session)."""
         results = {}
         for name, df in self.sinks.items():
             cfg = self.sink_configs[name]
@@ -419,6 +422,8 @@ class CompiledTopology:
                 results[name] = "shown"
             else:
                 raise ConfigError(f"unknown sink type {kind!r}")
+        for df in self.persisted:
+            df.unpersist()
         return results
 
 
@@ -578,6 +583,7 @@ def compile_config(
             consumers[i] = consumers.get(i, 0) + 1
 
     sink_dfs: dict[str, DataFrame] = {}
+    persisted: list[DataFrame] = []
     for name, cfg in sinks.items():
         inputs = cfg.get("inputs", [])
         if not inputs:
@@ -588,10 +594,13 @@ def compile_config(
             if consumers.get(i, 0) > 1 and i not in sources:
                 df = df.persist()
                 built[i] = df
+                persisted.append(df)
             ups.append(df)
         df = ups[0]
         for other in ups[1:]:
             df = df.unionByName(other, allowMissingColumns=True)
         sink_dfs[name] = df
 
-    return CompiledTopology(sinks=sink_dfs, sink_configs=dict(sinks), outputs=built)
+    return CompiledTopology(
+        sinks=sink_dfs, sink_configs=dict(sinks), outputs=built, persisted=persisted
+    )

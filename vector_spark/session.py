@@ -53,7 +53,8 @@ def get_spark(
             f"-XX:ParallelGCThreads={max(2, min(int(cpus), 8))} -XX:ConcGCThreads=2",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # map_concat overwrite semantics for add_tags (last write wins)
+        # last-write-wins for user-written map_concat expressions
+        # (AddTags itself filters colliding keys and no longer needs it)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     for k, v in (extra_conf or {}).items():

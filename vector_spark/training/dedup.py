@@ -20,6 +20,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_after_compute(df: DataFrame, cached: DataFrame) -> DataFrame:
+    """Release `cached` once the returned frame is consumed, so repeated
+    calls in a long-lived session don't leak cached blocks: the frame's
+    collect()/toPandas()/count() are wrapped to unpersist afterwards,
+    and an explicit `release()` handle covers any other consumer
+    (write, further transformations, tests)."""
+    def _wrap(action):
+        def run(*a, **kw):
+            try:
+                return action(*a, **kw)
+            finally:
+                cached.unpersist()
+        return run
+
+    for name in ("collect", "toPandas", "count"):
+        setattr(df, name, _wrap(getattr(df, name)))
+    df._cached_dep = cached
+    df.release = lambda: cached.unpersist()
+    return df
+
+
 def md5_long(col: Column) -> Column:
     """Portable 60-bit hash (matches ('0x'||substr(md5,1,15))::BIGINT)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -68,7 +89,10 @@ def ngram_jaccard_pairs(
 
     The shingle set feeds three plan branches (two join sides + sizes);
     persist it so the explode runs once. At corpus scale you'd write it
-    to a bucketed table instead of caching."""
+    to a bucketed table instead of caching. Lifecycle: the returned
+    frame releases the cached blocks after its first collect/toPandas/
+    count (or explicitly via `.release()`), so a long-lived session
+    calling this repeatedly does not accumulate cached RDDs."""
     sh = shingles(docs, n, text_col, id_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -82,12 +106,14 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
+    out = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
+    out = _release_after_compute(out, sh)
+    return out
 
 
 def minhash_signatures(
@@ -118,7 +144,7 @@ def lsh_candidate_pairs(
     linear in corpus size, no cross-join. Signatures are persisted:
     every band reads them twice (both join sides), and recomputing the
     MinHash per branch would multiply the shingling cost by 2×bands."""
-    signatures = signatures.persist()
+    signatures = signatures.persist()  # read by every band twice; released below
     pair_sets = []
     for band_cols in bands:
         key = F.xxhash64(*[F.col(c) for c in band_cols])
@@ -131,7 +157,7 @@ def lsh_candidate_pairs(
     out = pair_sets[0]
     for p in pair_sets[1:]:
         out = out.unionByName(p)
-    return out.distinct()
+    return _release_after_compute(out.distinct(), signatures)
 
 
 def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
