@@ -273,3 +273,97 @@ def test_ipv6_functions(spark):
     assert spark.range(1).select(
         ip_to_ipv6(F.lit("10.1.2.3")).alias("m")
     ).first()["m"] == "::ffff:10.1.2.3"
+
+
+def _build_tiny_mmdb(path, networks):
+    """Hand-assemble a minimal valid MaxMind DB (v4 tree, 24-bit
+    records) per the public spec — tree + 16-null separator + data
+    section + metadata marker + metadata map."""
+
+    def enc_str(s):
+        b = s.encode()
+        assert len(b) < 29
+        return bytes([0x40 | len(b)]) + b
+
+    def enc_uint(n, type_num):
+        b = n.to_bytes(max((n.bit_length() + 7) // 8, 1), "big") if n else b""
+        return bytes([(type_num << 5) | len(b)]) + b
+
+    def enc_map(items):  # items: list[(key, encoded_value)]
+        out = bytes([0xE0 | len(items)])
+        for k, v in items:
+            out += enc_str(k) + v
+        return out
+
+    # data section: one record per network
+    data = b""
+    data_offsets = []
+    for _, _, iso in networks:
+        data_offsets.append(len(data))
+        data += enc_map([("country", enc_map([("iso_code", enc_str(iso))]))])
+
+    # binary trie
+    nodes = [{}]  # each: {0: child, 1: child} where child = ("n", idx) | ("d", i)
+    for i, (net, plen, _) in enumerate(networks):
+        cur = 0
+        for depth in range(plen):
+            bit = (net >> (31 - depth)) & 1
+            if depth == plen - 1:
+                nodes[cur][bit] = ("d", i)
+            else:
+                child = nodes[cur].get(bit)
+                if child is None or child[0] != "n":
+                    nodes.append({})
+                    nodes[cur][bit] = ("n", len(nodes) - 1)
+                cur = nodes[cur][bit][1]
+
+    node_count = len(nodes)
+
+    def record(child):
+        if child is None:
+            return node_count
+        kind, idx = child
+        if kind == "n":
+            return idx
+        return node_count + 16 + data_offsets[idx]
+
+    tree = b""
+    for n in nodes:
+        tree += record(n.get(0)).to_bytes(3, "big") + record(n.get(1)).to_bytes(3, "big")
+
+    meta = enc_map(
+        [
+            ("record_size", enc_uint(24, 5)),
+            ("node_count", enc_uint(node_count, 6)),
+            ("ip_version", enc_uint(4, 5)),
+        ]
+    )
+    blob = tree + b"\x00" * 16 + data + b"\xab\xcd\xefMaxMind.com" + meta
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def test_mmdb_geoip_onramp(spark, tmp_path):
+    """.mmdb → CIDR table → broadcast interval join: the full geoip
+    on-ramp, on a spec-built fixture database."""
+    from vector_spark.enrich import geoip_enrich
+    from vector_spark.functions.mmdb import mmdb_to_cidr_table, mmdb_to_rows
+
+    networks = [
+        (10 << 24, 8, "AA"),            # 10.0.0.0/8
+        ((192 << 24) | (168 << 16), 16, "BB"),  # 192.168.0.0/16
+    ]
+    db = str(tmp_path / "tiny.mmdb")
+    _build_tiny_mmdb(db, networks)
+
+    rows = mmdb_to_rows(db)
+    got = {(lo, hi): attrs["country.iso_code"] for lo, hi, attrs in rows}
+    assert got[(10 << 24, (11 << 24) - 1)] == "AA"
+    assert got[((192 << 24) | (168 << 16), (192 << 24) | (169 << 16) - 1)] == "BB"
+
+    dim = mmdb_to_cidr_table(spark, db, fields=["country.iso_code"])
+    events = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "192.168.0.9"), (3, "8.8.8.8")], "id int, ip string"
+    )
+    out = {r["id"]: r["geoip_country_iso_code"] for r in geoip_enrich(events, "ip", dim).collect()}
+    assert out == {1: "AA", 2: "BB", 3: None}
