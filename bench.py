@@ -64,6 +64,14 @@ HEADLINE = [
     "lsh_candidates",
     "hamming_neardup",
     "metric_quantiles",
+    "metric_to_log",
+    "klog_parser",
+    "alb_log_parser",
+    "user_agent_parser",
+    "percent_codec",
+    "xml_parser",
+    "embedding_neardup_lsh",
+    "ipv6_functions",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))
