@@ -188,21 +188,30 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
 def hamming_near_pairs(
     sim: DataFrame, max_dist: int = 2, bits: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
-    """SimHash near-dup pairs by Hamming distance ≤ max_dist via
-    pigeonhole banding: the `bits`-bit fingerprint is split into
-    max_dist+1 contiguous segments, and any pair within distance
-    max_dist must agree EXACTLY on at least one segment (at most
-    max_dist bits differ, so they can't touch all max_dist+1 segments).
-    Each segment becomes an equi-join key — candidate generation is a
-    hash join per segment (linear shuffle of (segment value, id, sig)),
-    never a cross join — then an exact bit_count(xor) verify keeps
-    precision at 100%.  Result set is identical to the brute-force
-    all-pairs scan.
+    """SimHash near-dup pairs by Hamming distance ≤ max_dist. Result is
+    identical to the brute-force all-pairs scan; the plan is built for
+    the dedup-heavy distribution this operator exists for:
 
-    Scale note: buckets of identical segments can be hot when the
-    corpus carries many exact duplicates; run exact dedup first (the
-    standard pipeline order) and the residual bucket sizes stay small.
+    1. COLLAPSE: group ids by fingerprint (one shuffle, map-side
+       combined). Near-dup corpora concentrate massively — a segment-
+       bucket join over raw docs would be quadratic in the hottest
+       duplicate group, which is precisely the skew this step removes.
+    2. BAND over DISTINCT fingerprints: pigeonhole split into
+       max_dist+1 segments — a pair within distance max_dist must agree
+       exactly on ≥1 segment — so candidates come from per-segment
+       equi-joins over the (small) distinct-value set, verified exactly
+       with bit_count(xor). No cross join anywhere.
+    3. EXPAND: surviving fingerprint pairs join back to their member
+       lists and explode — output-bound work; intra-group pairs
+       (distance 0) explode directly. Groups are disjoint so no final
+       distinct is needed.
+
+    At extreme scale the duplicate-group member lists are the exact-dup
+    mass; run exact dedup first (standard pipeline order) or emit
+    (keeper, member) edges instead of all pairs.
     """
+    groups = sim.groupBy("simhash").agg(F.collect_list(id_col).alias("ids"))
+
     n_seg = max_dist + 1
     base, rem = divmod(bits, n_seg)
     bounds: list[tuple[int, int]] = []
@@ -212,23 +221,46 @@ def hamming_near_pairs(
         bounds.append((start, ln))
         start += ln
 
+    dist = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    fps = groups.select(F.col("simhash"))
     pair_sets = []
     for seg_start, seg_len in bounds:
         seg = F.shiftright(F.col("simhash"), seg_start).bitwiseAND(F.lit((1 << seg_len) - 1))
-        keyed = sim.select(F.col(id_col), F.col("simhash"), seg.alias("seg"))
-        a = keyed.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"), "seg")
-        b = keyed.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"), "seg")
+        keyed = fps.select(F.col("simhash"), seg.alias("seg"))
+        a = keyed.select(F.col("simhash").alias("sa"), "seg")
+        b = keyed.select(F.col("simhash").alias("sb"), "seg")
         pair_sets.append(
             a.join(b, "seg")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sa", "sb")
+            .filter((F.col("sa") < F.col("sb")) & (dist <= max_dist))
+            .select("sa", "sb", dist.alias("hamming"))
         )
-    cands = pair_sets[0]
+    fp_pairs = pair_sets[0]
     for p in pair_sets[1:]:
-        cands = cands.unionByName(p)
-    dist = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
-        cands.distinct()
-        .filter(dist <= max_dist)
-        .select("id_a", "id_b", dist.alias("hamming"))
+        fp_pairs = fp_pairs.unionByName(p)
+    fp_pairs = fp_pairs.distinct()
+
+    ga = groups.select(F.col("simhash").alias("sa"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("simhash").alias("sb"), F.col("ids").alias("ids_b"))
+    inter = (
+        fp_pairs.join(ga, "sa")
+        .join(gb, "sb")
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "hamming")
+        .select("ia", F.explode("ids_b").alias("ib"), "hamming")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
     )
+    intra = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("ia"), "ids")
+        .select("ia", F.explode("ids").alias("ib"))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return inter.unionByName(intra)
