@@ -5,6 +5,7 @@
 Usage:
     spark-submit --py-files vector_spark.zip run_config.py pipeline.toml
     python run_config.py pipeline.toml --cpus 8
+    python run_config.py pipeline.toml --test      # `vector test` mode
 
 The config shape mirrors Vector's: [sources.X] / [transforms.Y] /
 [sinks.Z] with `type` and `inputs`; `route` and `compound` macros
@@ -24,6 +25,11 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("config", help="TOML config file")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--test",
+        action="store_true",
+        help="run the config's [[tests]] blocks (the `vector test` subcommand)",
+    )
     args = ap.parse_args(argv)
 
     from vector_spark.plans.config import compile_config
@@ -32,6 +38,24 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("vector_spark.run_config", cpus=args.cpus)
     with open(args.config) as f:
         toml_text = f.read()
+
+    if args.test:
+        from vector_spark.plans.unit_test import run_unit_tests
+
+        results = run_unit_tests(spark, toml_text)
+        for r in results:
+            status = "passed" if r.ok else "FAILED"
+            print(f"test {r.name!r} ... {status}")
+            for err in r.errors:
+                print(f"  error: {err}")
+            for c in r.checks:
+                for f_ in c.failures:
+                    print(f"  check {c.extract_from!r} ({c.n_rows} rows): {f_}")
+        n_bad = sum(1 for r in results if not r.ok)
+        print(json.dumps({"tests": len(results), "failed": n_bad}))
+        spark.stop()
+        return 1 if n_bad else 0
+
     t0 = time.time()
     topo = compile_config(spark, toml_text)
     results = topo.run()

@@ -322,3 +322,21 @@ def test_geoip_range_join(spark):
     df = spark.createDataFrame([("10.0.0.5",), ("11.0.0.5",)], "ip string")
     rows = {r["ip"]: r["geoip_zone"] for r in geoip_enrich(df, "ip", cidr).collect()}
     assert rows == {"10.0.0.5": "ten-net", "11.0.0.5": None}
+
+
+def test_ec2_metadata_operator(spark):
+    from vector_spark.enrich import Ec2Metadata
+
+    import pytest
+
+    fake = {"instance-id": "i-0abc", "region": "us-east-1", "secret-thing": "nope"}
+    df = spark.createDataFrame([(1,)], "id int")
+    out = Ec2Metadata(fetcher=lambda: fake).apply(df).collect()[0]
+    assert out["instance_id"] == "i-0abc" and out["region"] == "us-east-1"
+    assert "secret_thing" not in out.asDict()  # allowlist filter
+
+    only = Ec2Metadata(fetcher=lambda: fake, fields=["region"], prefix="ec2_").apply(df)
+    assert only.columns == ["id", "ec2_region"]
+
+    with pytest.raises(RuntimeError):
+        Ec2Metadata().apply(df)  # no IMDS in sandbox → explicit error

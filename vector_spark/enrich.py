@@ -83,3 +83,43 @@ def ec2_metadata_stamp(df: DataFrame, metadata: dict[str, str], prefix: str = ""
     for k, v in metadata.items():
         df = df.withColumn(f"{prefix}{k}", F.lit(v))
     return df
+
+
+class Ec2Metadata:
+    """`aws_ec2_metadata` as a first-class transform
+    (/root/reference/src/transforms/aws_ec2_metadata.rs:24-35): the
+    reference polls IMDS on an interval and stamps the current values
+    onto every event. Batch mapping: ONE driver-side fetch per run →
+    `lit()` columns (constant-folded; zero per-row cost).
+
+    `fetcher` is injectable: the default raises in this sandbox (no
+    IMDS endpoint) — pass a dict-returning callable, e.g. a cached
+    `urllib` read of http://169.254.169.254/latest/meta-data/ on a real
+    instance. `fields` limits which keys are stamped (the reference's
+    field allowlist)."""
+
+    DEFAULT_FIELDS = (
+        "instance-id", "local-hostname", "local-ipv4", "public-hostname",
+        "public-ipv4", "ami-id", "availability-zone", "region",
+    )
+
+    def __init__(self, fetcher=None, fields: list[str] | None = None, prefix: str = ""):
+        self.fetcher = fetcher
+        self.fields = list(fields) if fields is not None else list(self.DEFAULT_FIELDS)
+        self.prefix = prefix
+
+    def fetch(self) -> dict[str, str]:
+        if self.fetcher is None:
+            raise RuntimeError(
+                "no IMDS endpoint in this environment — inject `fetcher` "
+                "(callable returning {field: value})"
+            )
+        return self.fetcher()
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        meta = self.fetch()
+        picked = {k: v for k, v in meta.items() if k in self.fields}
+        # column names follow the reference's underscored keys
+        return ec2_metadata_stamp(
+            df, {k.replace("-", "_"): v for k, v in picked.items()}, prefix=self.prefix
+        )

@@ -355,8 +355,21 @@ def _t_passthrough(df, cfg):
     return df
 
 
+def _t_aws_ec2_metadata(df, cfg):
+    """Inline `metadata` map plays the IMDS fetch in configs (the real
+    fetcher is injectable on the Ec2Metadata class)."""
+    from vector_spark.enrich import Ec2Metadata
+
+    return Ec2Metadata(
+        fetcher=lambda: dict(cfg["metadata"]),
+        fields=cfg.get("fields"),
+        prefix=cfg.get("prefix", ""),
+    ).apply(df)
+
+
 TRANSFORMS = {
     "passthrough": _t_passthrough,
+    "aws_ec2_metadata": _t_aws_ec2_metadata,
     "filter": _t_filter,
     "field_filter": _t_field_filter,
     "sample": _t_sample,
