@@ -1987,6 +1987,149 @@ def q_ipv6_functions(spark, sf):
     )
 
 
+# ---- nginx access (combined) log ------------------------------------
+
+
+@_q(
+    "nginx_access_parser",
+    """
+    SELECT event_id,
+           '10.0.' || (user_id % 256) || '.1' AS client,
+           'u' || user_id AS req_user,
+           epoch_us(TIMESTAMP '2026-08-17 10:00:00') AS ts_us,
+           'GET' AS method,
+           '/api/' || event_type AS path,
+           CAST(200 + (user_id % 5) * 100 AS BIGINT) AS status,
+           event_id % 4096 AS size,
+           CASE WHEN user_id % 2 = 0 THEN 'https://ref.example/' || event_type END AS referer,
+           'curl/7.75.0' AS agent
+    FROM events
+    """,
+)
+def q_nginx_access_parser(spark, sf):
+    from vector_spark.functions.parse import parse_nginx_combined_log
+
+    ev = _t(spark, sf, "events")
+    referer = F.when(
+        F.pmod("user_id", F.lit(2)) == 0,
+        F.concat(F.lit("https://ref.example/"), F.col("event_type")),
+    ).otherwise(F.lit("-"))
+    line = F.concat(
+        F.lit("10.0."), F.pmod("user_id", F.lit(256)), F.lit(".1 u"), F.col("user_id"),
+        F.lit(' - [17/Aug/2026:10:00:00 +0000] "GET /api/'), F.col("event_type"),
+        F.lit(' HTTP/1.1" '), (F.lit(200) + F.pmod("user_id", F.lit(5)) * 100),
+        F.lit(" "), F.pmod("event_id", F.lit(4096)),
+        F.lit(' "'), referer, F.lit('" "curl/7.75.0"'),
+    )
+    p = parse_nginx_combined_log(line)
+    return ev.select(
+        "event_id",
+        p["client"].alias("client"),
+        p["user"].alias("req_user"),
+        F.unix_micros(p["timestamp"]).alias("ts_us"),
+        p["method"].alias("method"),
+        p["path"].alias("path"),
+        p["status"].alias("status"),
+        p["size"].alias("size"),
+        p["referer"].alias("referer"),
+        p["agent"].alias("agent"),
+    )
+
+
+# ---- syslog code maps + match_any -----------------------------------
+
+
+@_q(
+    "syslog_maps",
+    """
+    SELECT event_id,
+           CASE user_id % 8 WHEN 0 THEN 'emerg' WHEN 1 THEN 'alert'
+                WHEN 2 THEN 'crit' WHEN 3 THEN 'err' WHEN 4 THEN 'warning'
+                WHEN 5 THEN 'notice' WHEN 6 THEN 'info' ELSE 'debug' END AS level,
+           CASE user_id % 26 WHEN 24 THEN NULL WHEN 25 THEN NULL
+                ELSE (CASE user_id % 26
+                      WHEN 0 THEN 'kern' WHEN 1 THEN 'user' WHEN 2 THEN 'mail'
+                      WHEN 3 THEN 'daemon' WHEN 4 THEN 'auth' WHEN 5 THEN 'syslog'
+                      WHEN 6 THEN 'lpr' WHEN 7 THEN 'news' WHEN 8 THEN 'uucp'
+                      WHEN 9 THEN 'cron' WHEN 10 THEN 'authpriv' WHEN 11 THEN 'ftp'
+                      WHEN 12 THEN 'ntp' WHEN 13 THEN 'security' WHEN 14 THEN 'console'
+                      WHEN 15 THEN 'solaris-cron' WHEN 16 THEN 'local0'
+                      WHEN 17 THEN 'local1' WHEN 18 THEN 'local2' WHEN 19 THEN 'local3'
+                      WHEN 20 THEN 'local4' WHEN 21 THEN 'local5' WHEN 22 THEN 'local6'
+                      ELSE 'local7' END) END AS facility,
+           CAST(user_id % 8 AS INT) AS severity_back,
+           (event_type = 'error' OR event_type = 'purchase') AS matched
+    FROM events
+    """,
+)
+def q_syslog_maps(spark, sf):
+    from vector_spark.functions.strings import (
+        match_any,
+        to_syslog_facility,
+        to_syslog_level,
+        to_syslog_severity,
+    )
+
+    ev = _t(spark, sf, "events")
+    level = to_syslog_level(F.pmod("user_id", F.lit(8)))
+    return ev.select(
+        "event_id",
+        level.alias("level"),
+        to_syslog_facility(F.pmod("user_id", F.lit(26))).alias("facility"),
+        to_syslog_severity(level).alias("severity_back"),
+        match_any(F.col("event_type"), ["^error$", "^purchase$"]).alias("matched"),
+    )
+
+
+# ---- object/path ops over the attributes map ------------------------
+
+
+@_q(
+    "object_ops",
+    """
+    WITH m AS (
+      SELECT event_id,
+             event_type AS t_val,
+             CAST(user_id AS VARCHAR) AS u_val
+      FROM events)
+    SELECT event_id,
+           t_val AS got_type,
+           'overridden' AS set_val,
+           u_val AS kept_user,
+           2 AS n_after_del,
+           1 AS n_only
+    FROM m
+    """,
+)
+def q_object_ops(spark, sf):
+    from vector_spark.functions.objects import (
+        del_path,
+        get_path,
+        merge_maps,
+        only_fields,
+        set_path,
+    )
+
+    ev = _t(spark, sf, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("user"), F.lit("junk")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string"), F.lit("")),
+    )
+    staged = ev.select("event_id", m.alias("m"))
+    mm = F.col("m")
+    after_set = set_path(mm, "type", F.lit("overridden"))
+    merged = merge_maps(mm, F.create_map(F.lit("type"), F.lit("overridden")))
+    after_del = del_path(mm, ["junk"])
+    return staged.select(
+        "event_id",
+        get_path(mm, "type").alias("got_type"),
+        get_path(after_set, "type").alias("set_val"),
+        get_path(merged, "user").alias("kept_user"),
+        F.size(after_del).alias("n_after_del"),
+        F.size(only_fields(mm, ["user"])).alias("n_only"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -367,3 +367,88 @@ def test_mmdb_geoip_onramp(spark, tmp_path):
     )
     out = {r["id"]: r["geoip_country_iso_code"] for r in geoip_enrich(events, "ip", dim).collect()}
     assert out == {1: "AA", 2: "BB", 3: None}
+
+
+def test_object_path_functions(spark):
+    from vector_spark.functions.objects import (
+        compact_map,
+        del_path,
+        get_path,
+        merge_maps,
+        only_fields,
+        set_path,
+        unnest,
+    )
+
+    df = spark.createDataFrame(
+        [({"a": "1", "b": "", "c": None},)], "m map<string,string>"
+    )
+    m = F.col("m")
+    r = df.select(
+        get_path(m, "a").alias("g"),
+        get_path(set_path(m, "a", F.lit("9")), "a").alias("s"),
+        F.size(del_path(m, ["a", "b"])).alias("d"),
+        F.size(only_fields(m, ["a"])).alias("o"),
+        F.size(compact_map(m)).alias("c"),
+        get_path(merge_maps(m, F.create_map(F.lit("a"), F.lit("z"))), "a").alias("mg"),
+    ).collect()[0]
+    assert (r["g"], r["s"], r["d"], r["o"], r["c"], r["mg"]) == ("1", "9", 1, 1, 1, "z")
+
+    arr_df = spark.createDataFrame([(1, ["x", "y"])], "id int, evs array<string>")
+    rows = unnest(arr_df, "evs").collect()
+    assert [(r["id"], r["evs"]) for r in rows] == [(1, "x"), (1, "y")]
+
+
+def test_misc_vrl_functions(spark):
+    import os as _os
+
+    from vector_spark.functions.strings import (
+        assert_,
+        encode_key_value,
+        get_env_var,
+        match_any,
+        match_array,
+        to_syslog_facility,
+        to_syslog_level,
+        to_syslog_severity,
+    )
+
+    df = spark.createDataFrame([("error here", ["ab", "cd"])], "s string, arr array<string>")
+    r = df.select(
+        match_any(F.col("s"), ["^nope", "error"]).alias("ma"),
+        match_array(F.col("arr"), "^a").alias("any"),
+        match_array(F.col("arr"), "^[a-z]+$", all_=True).alias("all"),
+        to_syslog_level(F.lit(3)).alias("lvl"),
+        to_syslog_facility(F.lit(10)).alias("fac"),
+        to_syslog_severity(F.lit("WARNING")).alias("sev"),
+        to_syslog_level(F.lit(99)).alias("bad"),
+        encode_key_value({"a": F.lit(1), "b": F.lit("x")}, ";", ":").alias("kv"),
+    ).collect()[0]
+    assert r["ma"] and r["any"] and r["all"]
+    assert (r["lvl"], r["fac"], r["sev"], r["bad"]) == ("err", "authpriv", 4, None)
+    assert r["kv"] == "a:1;b:x"
+
+    _os.environ["VECTOR_SPARK_TEST_VAR"] = "hello"
+    assert spark.range(1).select(
+        get_env_var("VECTOR_SPARK_TEST_VAR").alias("v")
+    ).first()["v"] == "hello"
+
+    ok = spark.range(1).select(assert_(F.lit(True), "boom").alias("a")).first()["a"]
+    assert ok is True
+    import pytest
+
+    with pytest.raises(Exception, match="boom"):
+        spark.range(1).select(assert_(F.lit(False), "boom").alias("a")).collect()
+
+
+def test_nginx_combined_reference_example(spark):
+    from vector_spark.functions.parse import parse_nginx_combined_log
+
+    line = '172.17.0.1 - - [31/Mar/2021:12:04:07 +0000] "GET / HTTP/1.1" 200 612 "-" "curl/7.75.0" "-"'
+    r = spark.createDataFrame([(line,)], "l string").select(
+        *[c.alias(k) for k, c in parse_nginx_combined_log(F.col("l")).items()]
+    ).collect()[0]
+    assert r["client"] == "172.17.0.1" and r["user"] is None
+    assert r["method"] == "GET" and r["status"] == 200 and r["size"] == 612
+    assert r["referer"] is None and r["agent"] == "curl/7.75.0"
+    assert r["compression"] is None and r["timestamp"].year == 2021

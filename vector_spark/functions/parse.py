@@ -449,3 +449,33 @@ def parse_xml(col: Column, schema: str) -> Column:
     the builtin, not a UDF. Attribute fields surface with the reader's
     `_` attributePrefix (VRL uses '@'; rename downstream if needed)."""
     return F.from_xml(col, schema)
+
+
+NGINX_COMBINED_RX = (
+    r'^\s*(\S+) (\S+) - \[([^\]]+)\] "(\w+) (\S+) (\S+)" (\d+) (\d+) '
+    r'"([^"]*)" "([^"]*)"(?: "([^"]*)")?\s*$'
+)
+
+
+def parse_nginx_combined_log(col: Column) -> dict[str, Column]:
+    """VRL parse_nginx_log format="combined"
+    (parse_nginx_log.rs:60-96, log_util.rs REGEX_NGINX_COMBINED_LOG):
+    client, user, timestamp, method/path/protocol, status, size,
+    referer, agent, optional compression. '-' fields → NULL. One regex
+    pass (regex_extract_named)."""
+    from vector_spark.functions.grok import regex_extract_named
+
+    out = regex_extract_named(
+        col,
+        NGINX_COMBINED_RX,
+        [("client", None), ("user", None), ("timestamp_raw", None),
+         ("method", None), ("path", None), ("protocol", None),
+         ("status", "long"), ("size", "long"),
+         ("referer", None), ("agent", None), ("compression", None)],
+    )
+    for k in ("client", "user", "referer", "agent", "compression"):
+        out[k] = F.when(out[k] == "-", F.lit(None)).otherwise(out[k])
+    out["timestamp"] = F.try_to_timestamp(
+        out.pop("timestamp_raw"), F.lit("dd/MMM/yyyy:HH:mm:ss Z")
+    )
+    return out

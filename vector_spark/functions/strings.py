@@ -289,3 +289,85 @@ def format_int(col: Column, base: int = 10) -> Column:
     if base == 10:
         return col.cast("string")
     return F.lower(F.conv(col.cast("string"), 10, base))
+
+
+# Syslog numeric code maps (to_syslog_facility.rs:57-84,
+# to_syslog_level.rs:57-67, to_syslog_severity.rs reverse direction).
+_SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
+]
+_SYSLOG_LEVELS = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
+
+
+def to_syslog_facility(col: Column) -> Column:
+    """facility code int → keyword; invalid → NULL (VRL errors)."""
+    m = F.create_map(*[F.lit(x) for i, n in enumerate(_SYSLOG_FACILITIES) for x in (i, n)])
+    return F.element_at(m, col.cast("int"))
+
+
+def to_syslog_level(col: Column) -> Column:
+    """severity code int → level keyword; invalid → NULL."""
+    m = F.create_map(*[F.lit(x) for i, n in enumerate(_SYSLOG_LEVELS) for x in (i, n)])
+    return F.element_at(m, col.cast("int"))
+
+
+def to_syslog_severity(col: Column) -> Column:
+    """level keyword → severity code int; unknown → NULL (reverse map)."""
+    m = F.create_map(*[F.lit(x) for i, n in enumerate(_SYSLOG_LEVELS) for x in (n, i)])
+    return F.element_at(m, F.lower(col))
+
+
+def match_any(col: Column, patterns: list[str]) -> Column:
+    """VRL match_any: true if ANY pattern matches (match_any.rs)."""
+    out = F.lit(False)
+    for p in patterns:
+        out = out | col.rlike(p)
+    return out
+
+
+def match_array(col: Column, pattern: str, all_: bool = False) -> Column:
+    """VRL match_array: does any (or every) element match (match_array.rs)."""
+    if all_:
+        return F.forall(col, lambda x: x.rlike(pattern))
+    return F.exists(col, lambda x: x.rlike(pattern))
+
+
+def assert_(cond: Column, message: str) -> Column:
+    """VRL assert!: raise on false (assert.rs) — Spark raise_error."""
+    return F.when(cond, F.lit(True)).otherwise(F.raise_error(F.lit(message)))
+
+
+def get_env_var(name: str) -> Column:
+    """VRL get_env_var — resolved DRIVER-side at plan time (the job's
+    env, matching the reference's process env; executors may differ)."""
+    import os
+
+    return F.lit(os.environ.get(name))
+
+
+def get_hostname() -> Column:
+    """VRL get_hostname — driver hostname at plan time."""
+    import socket
+
+    return F.lit(socket.gethostname())
+
+
+def now_() -> Column:
+    """VRL now() → current_timestamp (query-constant, as in VRL where
+    now() is fixed per event resolution)."""
+    return F.current_timestamp()
+
+
+def encode_key_value(
+    cols: dict[str, Column], field_delimiter: str = " ", key_value_delimiter: str = "="
+) -> Column:
+    """VRL encode_key_value (encode_key_value.rs) — encode_logfmt with
+    configurable delimiters."""
+    parts = [
+        F.concat(F.lit(k), F.lit(key_value_delimiter), c.cast("string"))
+        for k, c in cols.items()
+    ]
+    return F.concat_ws(field_delimiter, *parts)
