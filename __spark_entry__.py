@@ -2130,6 +2130,31 @@ def q_object_ops(spark, sf):
     )
 
 
+# ---- datadog_search condition (transform #33) -----------------------
+
+
+@_q(
+    "datadog_search",
+    """
+    SELECT event_id, event_type, round(value, 2) AS value
+    FROM events
+    WHERE event_type = 'error'
+       OR (value > 90 AND event_type LIKE 'c%')
+       OR (value >= 10 AND value <= 20 AND event_type = 'view')
+    """,
+)
+def q_datadog_search(spark, sf):
+    from vector_spark.functions.datadog_search import datadog_search
+
+    ev = _t(spark, sf, "events")
+    cond = datadog_search(
+        "event_type:error OR (value:>90 event_type:c*) OR (value:[10 TO 20] event_type:view)"
+    )
+    return ev.filter(cond).select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -452,3 +452,40 @@ def test_nginx_combined_reference_example(spark):
     assert r["method"] == "GET" and r["status"] == 200 and r["size"] == 612
     assert r["referer"] is None and r["agent"] == "curl/7.75.0"
     assert r["compression"] is None and r["timestamp"].year == 2021
+
+
+def test_datadog_search(spark):
+    from vector_spark.functions.datadog_search import datadog_search as dd
+
+    rows = [
+        (1, "error in worker", "error", 503, "web"),
+        (2, "all good here", "info", 200, "web"),
+        (3, "slow request warning", "warn", 200, "api"),
+        (4, None, "error", 404, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, message string, status string, code int, service string"
+    )
+
+    def ids(q):
+        return {r["id"] for r in df.filter(dd(q)).collect()}
+
+    assert ids("*") == {1, 2, 3, 4}
+    assert ids("status:error") == {1, 4}
+    assert ids("-status:error") == {2, 3}
+    assert ids("NOT status:error") == {2, 3}
+    assert ids("status:error AND code:503") == {1}
+    assert ids("status:error code:503") == {1}          # adjacency = AND
+    assert ids("status:error OR service:api") == {1, 3, 4}
+    assert ids("(status:error OR status:warn) AND service:web") == {1}
+    assert ids("error") == {1}                          # default-field contains
+    assert ids('"slow request"') == {3}                 # quoted phrase
+    assert ids("service:w*") == {1, 2}                  # wildcard
+    assert ids("code:>400") == {1, 4}
+    assert ids("code:>=503") == {1}
+    assert ids("code:[200 TO 404]") == {2, 3, 4}
+    assert ids("code:{200 TO 503}") == {4}
+    assert ids("_exists_:service") == {1, 2, 3}
+    assert ids("_missing_:service") == {4}
+    assert ids("status:*") == {1, 2, 3, 4}              # attr exists form
+    assert ids('status:"error"') == {1, 4}

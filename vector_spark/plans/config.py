@@ -49,8 +49,14 @@ SOURCES = {"parquet": _src_parquet, "generator": _src_generator}
 
 
 def _t_filter(df, cfg):
+    """condition is SQL by default; `condition_type = "datadog_search"`
+    switches to the Datadog search syntax front-end."""
     from vector_spark.operators.filter import Filter
 
+    if cfg.get("condition_type") == "datadog_search":
+        from vector_spark.functions.datadog_search import datadog_search
+
+        return Filter(datadog_search(cfg["condition"])).apply(df)
     return Filter(F.expr(cfg["condition"])).apply(df)
 
 
