@@ -72,6 +72,10 @@ HEADLINE = [
     "xml_parser",
     "embedding_neardup_lsh",
     "ipv6_functions",
+    "nginx_access_parser",
+    "syslog_maps",
+    "object_ops",
+    "datadog_search",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))

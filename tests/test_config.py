@@ -134,3 +134,47 @@ def test_compile_errors(spark, events_path):
                 "sinks": {},
             },
         )
+
+
+def test_route_with_datadog_search_lanes(spark):
+    """Typed lane conditions: datadog_search routes + computed
+    _unmatched complement (conditions/datadog_search.rs as a lane)."""
+    import tomllib
+
+    from vector_spark.plans.unit_test import run_unit_tests
+
+    toml_text = """
+[transforms.r]
+  inputs = []
+  type = "route"
+  [transforms.r.route]
+    errors = {type = "datadog_search", source = "status:error"}
+    big = {type = "sql", source = "n > 100"}
+
+[[tests]]
+  name = "dd lane"
+  [tests.input]
+    insert_at = "r"
+    type = "rows"
+    schema = "status string, n long"
+    rows = [{status = "error", n = 1}, {status = "ok", n = 500}, {status = "ok", n = 5}]
+  [[tests.outputs]]
+    extract_from = "r.errors"
+    [[tests.outputs.conditions]]
+      type = "sql"
+      source = "status = 'error'"
+  [[tests.outputs]]
+    extract_from = "r.big"
+    [[tests.outputs.conditions]]
+      type = "sql"
+      source = "n = 500"
+  [[tests.outputs]]
+    extract_from = "r._unmatched"
+    [[tests.outputs.conditions]]
+      type = "sql"
+      source = "n = 5 AND status = 'ok'"
+"""
+    results = run_unit_tests(spark, toml_text)
+    assert all(r.ok for r in results), [
+        (c.extract_from, c.failures) for r in results for c in r.checks
+    ]

@@ -48,16 +48,41 @@ def _src_generator(spark, cfg):
 SOURCES = {"parquet": _src_parquet, "generator": _src_generator}
 
 
+def compile_condition(cond) -> "F.Column":
+    """A condition is a SQL string, or a dict {type, source} where type
+    is "sql"/"vrl" (SQL expression — our VRL analogue) or
+    "datadog_search" (conditions/datadog_search.rs)."""
+    if isinstance(cond, dict):
+        kind = cond.get("type", "sql")
+        src = cond["source"]
+        if kind == "datadog_search":
+            from vector_spark.functions.datadog_search import datadog_search
+
+            return datadog_search(src)
+        if kind in ("sql", "vrl", "is_log"):
+            return F.expr(src)
+        raise ConfigError(f"unknown condition type {kind!r}")
+    return F.expr(cond)
+
+
 def _t_filter(df, cfg):
-    """condition is SQL by default; `condition_type = "datadog_search"`
-    switches to the Datadog search syntax front-end."""
+    """condition: SQL string, {type, source} dict, or the legacy
+    `condition_type` sibling key."""
     from vector_spark.operators.filter import Filter
 
-    if cfg.get("condition_type") == "datadog_search":
-        from vector_spark.functions.datadog_search import datadog_search
+    cond = cfg["condition"]
+    if isinstance(cond, str) and cfg.get("condition_type") == "datadog_search":
+        cond = {"type": "datadog_search", "source": cond}
+    return Filter(compile_condition(cond)).apply(df)
 
-        return Filter(datadog_search(cfg["condition"])).apply(df)
-    return Filter(F.expr(cfg["condition"])).apply(df)
+
+def _t_filter_not_any(df, cfg):
+    """Route's `_unmatched` lane when lane conditions are typed objects:
+    rows matching NO lane condition."""
+    out = F.lit(False)
+    for cond in cfg["conditions"]:
+        out = out | F.coalesce(compile_condition(cond), F.lit(False))
+    return df.filter(~out)
 
 
 def _t_field_filter(df, cfg):
@@ -375,6 +400,7 @@ def _t_aws_ec2_metadata(df, cfg):
 
 TRANSFORMS = {
     "passthrough": _t_passthrough,
+    "filter_not_any": _t_filter_not_any,
     "aws_ec2_metadata": _t_aws_ec2_metadata,
     "filter": _t_filter,
     "field_filter": _t_field_filter,
@@ -460,12 +486,20 @@ def expand_macros(transforms: dict) -> dict:
                     "inputs": cfg.get("inputs", []),
                     "condition": cond,
                 }
-            lane_conds = " OR ".join(f"({c})" for c in cfg["route"].values())
-            expanded[f"{name}._unmatched"] = {
-                "type": "filter",
-                "inputs": cfg.get("inputs", []),
-                "condition": f"NOT coalesce({lane_conds}, false)",
-            }
+            conds = list(cfg["route"].values())
+            if all(isinstance(c, str) for c in conds):
+                lane_conds = " OR ".join(f"({c})" for c in conds)
+                expanded[f"{name}._unmatched"] = {
+                    "type": "filter",
+                    "inputs": cfg.get("inputs", []),
+                    "condition": f"NOT coalesce({lane_conds}, false)",
+                }
+            else:  # typed conditions (e.g. datadog_search lanes)
+                expanded[f"{name}._unmatched"] = {
+                    "type": "filter_not_any",
+                    "inputs": cfg.get("inputs", []),
+                    "conditions": conds,
+                }
         elif kind == "compound":
             prev_inputs = cfg.get("inputs", [])
             steps = cfg["steps"]
