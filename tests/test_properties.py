@@ -128,3 +128,110 @@ def test_sha3_matches_hashlib(spark):
     got = {r["s"]: r["h"] for r in df.select("s", sha3_(F.col("s"), 256).alias("h")).collect()}
     for s in cases:
         assert got[s] == hashlib.sha3_256(s.encode()).hexdigest()
+
+
+def test_percent_encode_matches_python(spark):
+    """encode_percent(NON_ALPHANUMERIC) encodes every byte outside
+    [A-Za-z0-9] as uppercase %XX (the percent-encoding crate's set —
+    stricter than urllib.parse.quote, which keeps '~_.-' bare); decode
+    inverts, '+' preserved verbatim."""
+
+    from vector_spark.functions.strings import decode_percent, encode_percent
+
+    def ref_encode(s: str) -> str:
+        out = []
+        for ch in s:
+            if ("a" <= ch <= "z") or ("A" <= ch <= "Z") or ("0" <= ch <= "9"):
+                out.append(ch)
+            else:
+                out.extend(f"%{b:02X}" for b in ch.encode("utf-8"))
+        return "".join(out)
+
+    rng = _rng()
+    alphabet = string.ascii_letters + string.digits + " ?&=+%#/:;@'\"<>~é☃"
+    samples = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30))) for _ in range(200)]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    rows = df.select(
+        "s",
+        encode_percent(F.col("s")).alias("enc"),
+        decode_percent(encode_percent(F.col("s"))).alias("rt"),
+    ).collect()
+    for r in rows:
+        expect = ref_encode(r["s"])
+        assert r["enc"] == expect, (r["s"], r["enc"], expect)
+        assert r["rt"] == r["s"]
+
+
+def test_ip6_matches_python_ipaddress(spark):
+    """ip6_aton agrees with stdlib ipaddress on random valid/invalid
+    addresses (full, compressed, v4-mapped, malformed)."""
+    import ipaddress
+
+    from vector_spark.functions.ip import ip6_aton
+
+    rng = _rng()
+    samples = []
+    for _ in range(120):
+        groups = [format(rng.randrange(1 << 16), "x") for _ in range(8)]
+        samples.append(":".join(groups))
+        # compressed variant: zero a run then compress it
+        k = rng.randint(0, 5)
+        run = rng.randint(1, 3)
+        comp = groups[:k] + ["" ] + groups[k + run:]
+        samples.append(":".join(comp).replace(":::", "::"))
+    samples += [
+        f"::ffff:{rng.randint(0,255)}.{rng.randint(0,255)}.{rng.randint(0,255)}.{rng.randint(0,255)}"
+        for _ in range(30)
+    ]
+    samples += ["not an ip", "1::2::3", ":::", "12345::", "g::1", ""]
+    df = spark.createDataFrame([(s,) for s in samples], "ip string")
+    rows = df.select("ip", ip6_aton(F.col("ip")).alias("p")).collect()
+    for r in rows:
+        try:
+            a = ipaddress.ip_address(r["ip"])
+            n = int(a) if a.version == 6 else None
+        except ValueError:
+            n = None
+        if n is None:
+            assert r["p"] is None, r["ip"]
+        else:
+            exp = (n >> 64, n & ((1 << 64) - 1))
+            exp = tuple(v - (1 << 64) if v >= (1 << 63) else v for v in exp)
+            assert (r["p"]["hi"], r["p"]["lo"]) == exp, r["ip"]
+
+
+def test_single_pass_extraction_matches_python_re(spark):
+    """regex_extract_named ≡ python re first-match group extraction on
+    random lines for a multi-capture pattern."""
+    import re as pyre
+
+    from vector_spark.functions.grok import regex_extract_named
+
+    rng = _rng()
+    rx = r"(\w+)=(\d+);(\w*)"
+    lines = []
+    for _ in range(200):
+        kind = rng.randint(0, 3)
+        if kind == 0:
+            lines.append(f"{'x'*rng.randint(1,5)}={rng.randint(0,999)};{'t'*rng.randint(0,3)}")
+        elif kind == 1:
+            lines.append(f"junk {'k'*rng.randint(1,4)}={rng.randint(0,99)}; tail")
+        elif kind == 2:
+            lines.append("no match here at all")
+        else:
+            lines.append("")
+    df = spark.createDataFrame([(l,) for l in lines], "l string")
+    caps = regex_extract_named(
+        F.col("l"), rx, [("k", None), ("n", "long"), ("t", None)]
+    )
+    rows = df.select("l", *[c.alias(name) for name, c in caps.items()]).collect()
+    crx = pyre.compile(rx)
+    for r in rows:
+        m = crx.search(r["l"])
+        if m is None:
+            assert r["k"] is None and r["n"] is None and r["t"] is None, r["l"]
+        else:
+            assert r["k"] == m.group(1), r["l"]
+            assert r["n"] == int(m.group(2)), r["l"]
+            exp_t = m.group(3) if m.group(3) != "" else None
+            assert r["t"] == exp_t, r["l"]
