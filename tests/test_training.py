@@ -218,3 +218,46 @@ def test_lsh_near_pairs_recall(spark):
 
     plan = lsh_near_pairs(emb, 0.9, dim=dim)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Write both sides bucketed by doc_id → equi-join and per-key agg
+    plan with ZERO Exchange (the pay-the-shuffle-once contract that
+    makes repeated 100 TB joins affordable)."""
+    import pyspark.sql.functions as F
+
+    from vector_spark.training.bucketing import (
+        bucketed_join,
+        count_shuffle_exchanges,
+        write_bucketed,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckdemo")
+    import shutil
+
+    for t in ("docs_b", "sigs_b"):
+        spark.sql(f"DROP TABLE IF EXISTS buckdemo.{t}")
+        shutil.rmtree(f"spark-warehouse/buckdemo.db/{t}", ignore_errors=True)
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1000)], "doc_id int, text string"
+    )
+    sigs = spark.createDataFrame(
+        [(i, i % 97) for i in range(1000)], "doc_id int, sig int"
+    )
+    write_bucketed(docs, "buckdemo.docs_b", ["doc_id"], n_buckets=8)
+    write_bucketed(sigs, "buckdemo.sigs_b", ["doc_id"], n_buckets=8)
+
+    joined = bucketed_join(spark, "buckdemo.docs_b", "buckdemo.sigs_b", ["doc_id"])
+    assert joined.count() == 1000
+    assert count_shuffle_exchanges(joined) == 0, (
+        joined._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # un-bucketed baseline shuffles both sides (merge hint disables the
+    # broadcast shortcut so the comparison is apples-to-apples)
+    plain = docs.hint("merge").join(sigs, "doc_id")
+    assert count_shuffle_exchanges(plain) > 0
+
+    # per-key aggregation on the bucket key also needs no shuffle
+    agg = spark.table("buckdemo.sigs_b").groupBy("doc_id").agg(F.sum("sig"))
+    assert count_shuffle_exchanges(agg) == 0
