@@ -235,3 +235,42 @@ def test_bloom_filter_kernel():
         assert bloom_contains(bits, v)
     fps = sum(bloom_contains(bits, f"other{i}") for i in range(1000))
     assert fps < 5  # 3 values in 8192 bits: FP rate ~0
+
+
+def test_stream_to_table_sink_exactly_once(spark, tmp_path):
+    """foreachBatch through the TableSink abstraction: incremental
+    availableNow runs over a growing directory write each batch once;
+    a re-run with the same checkpoint writes nothing new."""
+    import pyspark.sql.functions as F
+
+    from vector_spark.sinks.writer import ParquetSink
+    from vector_spark.streaming import stream_to_table
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/p1")
+
+    def run():
+        stream = spark.readStream.schema("id int, source string").parquet(src + "/p*")
+        q = stream_to_table(
+            stream, ParquetSink(), out, partition_by=["source"], checkpoint=ck
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 2
+
+    # second incremental batch: only the new file is processed; the
+    # dynamic-overwrite sink replaces only partitions in the new batch
+    spark.createDataFrame(
+        [(3, "b"), (4, "c")], "id int, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/p2")
+    run()
+    got = {(r["id"], r["source"]) for r in spark.read.parquet(out).collect()}
+    # partition a survives from batch 1; b was replaced by batch 2's rows
+    assert got == {(1, "a"), (3, "b"), (4, "c")}
+
+    # idempotent resume: nothing new to process → no change
+    run()
+    assert {(r["id"], r["source"]) for r in spark.read.parquet(out).collect()} == got

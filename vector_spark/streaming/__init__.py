@@ -3,6 +3,7 @@ from vector_spark.streaming.pipeline import (
     streaming_dedupe,
     streaming_parse_aggregate,
 )
+from vector_spark.streaming.sink import stream_to_table
 from vector_spark.streaming.tag_cardinality import streaming_tag_cardinality_limit
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "streaming_dedupe",
     "streaming_parse_aggregate",
     "streaming_tag_cardinality_limit",
+    "stream_to_table",
 ]

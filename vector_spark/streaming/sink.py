@@ -1,0 +1,55 @@
+"""Streaming → table sink bridge: micro-batches through TableSink.
+
+Vector's sinks consume an event stream with at-least-once delivery and
+acks (lib/vector-core buffers/finalizers); the Spark analogue is
+Structured Streaming's checkpointed micro-batch loop feeding the same
+`TableSink` abstraction the batch pipeline writes through
+(vector_spark.sinks.writer):
+
+    q = stream_to_table(df, ParquetSink(), out_dir,
+                        partition_by=["source"], checkpoint=ckpt_dir)
+
+Semantics: the streaming checkpoint gives exactly-once *batch ids*; the
+sink's partition-replacing write makes a replayed batch idempotent for
+partition-complete batches (Iceberg `overwritePartitions` / dynamic
+partition overwrite — same contract as the batch checkpoint loop in
+sinks/checkpoint.py). For append-only streams where partitions span
+batches, pass `mode="append"` and rely on the batch-id dedup of the
+downstream reader instead (documented trade-off; Vector's own sinks are
+at-least-once there too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from vector_spark.sinks.writer import TableSink
+
+
+def stream_to_table(
+    stream_df: DataFrame,
+    sink: TableSink,
+    dest: str,
+    partition_by: list[str] | None = None,
+    checkpoint: str | None = None,
+    mode: str = "overwrite_partitions",
+    trigger_available_now: bool = True,
+    query_name: str = "vector_sink",
+):
+    """Start a streaming query writing each micro-batch via `sink`."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if mode == "append":
+            w = batch_df.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(dest)
+        else:
+            sink.write(batch_df, dest, partition_by)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).queryName(query_name)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
