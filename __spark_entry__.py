@@ -2155,6 +2155,192 @@ def q_datadog_search(spark, sf):
     )
 
 
+# ---- statsd datagram codec (src/sources/statsd/parser.rs:16-185) ----
+# The oracle recomputes the expected metric from the GROUND-TRUTH source
+# columns (not by re-parsing), so it independently checks the parser.
+
+
+@_q(
+    "statsd_parser",
+    """
+    SELECT event_id,
+           'app-' || event_type || '_latency' AS name,
+           CASE user_id % 4 WHEN 0 THEN 'c' WHEN 1 THEN 'g'
+                            WHEN 2 THEN 'ms' ELSE 's' END AS mtype,
+           CASE WHEN user_id % 4 = 1 AND event_id % 2 = 1
+                THEN 'absolute' ELSE 'incremental' END AS kind,
+           round(CAST(CASE user_id % 4
+             WHEN 0 THEN (user_id + 0.25)
+                         * (CASE WHEN event_id % 3 = 0 THEN 2.0 ELSE 1.0 END)
+             WHEN 1 THEN user_id + 0.25
+             WHEN 2 THEN (user_id + 0.25) / 1000.0
+             ELSE NULL END AS DOUBLE), 6) AS value,
+           round(CAST(CASE WHEN event_id % 3 = 0 THEN 2.0 ELSE 1.0 END
+                      AS DOUBLE), 6) AS sample_rate,
+           CASE WHEN user_id % 4 = 2 THEN 'histogram' END AS statistic,
+           CASE WHEN user_id % 4 = 3
+                THEN CAST(user_id AS VARCHAR) || '.25' END AS set_value,
+           CASE WHEN event_id % 2 = 0
+                THEN 'env:prod,flag:true,host:h' || CAST(user_id % 4 AS VARCHAR)
+           END AS tags_s
+    FROM events
+    """,
+)
+def q_statsd_parser(spark, sf):
+    from vector_spark.functions.metrics_codec import parse_statsd, serialize_tags
+
+    ev = _t(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    val_txt = F.concat(uid.cast("string"), F.lit(".25"))
+    mtype = F.element_at(
+        F.array(F.lit("c"), F.lit("g"), F.lit("ms"), F.lit("s")),
+        (uid % 4 + 1).cast("int"),
+    )
+    value_part = F.when(
+        (mtype == "g") & (eid % 2 == 0), F.concat(F.lit("+"), val_txt)
+    ).otherwise(val_txt)
+    sampling = F.when(eid % 3 == 0, F.lit("|@0.5")).otherwise(F.lit(""))
+    tags = F.when(
+        eid % 2 == 0,
+        F.concat(F.lit("|#host:h"), (uid % 4).cast("string"), F.lit(",env:prod,flag")),
+    ).otherwise(F.lit(""))
+    line = F.concat(
+        F.lit("app/"), F.col("event_type"), F.lit(" latency:"),
+        value_part, F.lit("|"), mtype, sampling, tags,
+    )
+    p = parse_statsd(line)
+    return ev.select(
+        eid.alias("event_id"),
+        p["name"].alias("name"),
+        p["mtype"].alias("mtype"),
+        p["kind"].alias("kind"),
+        F.round(p["value"], 6).alias("value"),
+        F.round(p["sample_rate"], 6).alias("sample_rate"),
+        p["statistic"].alias("statistic"),
+        p["set_value"].alias("set_value"),
+        F.when(p["tags"].isNotNull(), serialize_tags(p["tags"])).alias("tags_s"),
+    )
+
+
+# ---- prometheus text exposition codec (lib/prometheus-parser) -------
+
+
+@_q(
+    "prometheus_parser",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                WHEN event_id % 5 = 0 THEN 'up'
+                ELSE 'http_requests_total' END AS name,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                WHEN event_id % 5 = 0 THEN ''
+                ELSE 'env:prod,host:h' || CAST(user_id % 4 AS VARCHAR)
+           END AS labels_s,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE round(CAST(user_id + 0.25 AS DOUBLE), 6) END AS value,
+           CASE WHEN event_id % 7 = 0 OR event_id % 5 = 0 OR event_id % 2 = 1
+                THEN NULL ELSE 1700000000000 + event_id END AS timestamp_ms,
+           CASE WHEN event_id % 7 = 0 THEN 'not_a_metric_line' END AS error
+    FROM events
+    """,
+)
+def q_prometheus_parser(spark, sf):
+    from vector_spark.functions.metrics_codec import parse_prometheus, serialize_tags
+
+    ev = _t(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    val_txt = F.concat(uid.cast("string"), F.lit(".25"))
+    ts_part = F.when(
+        eid % 2 == 0,
+        F.concat(F.lit(" "), (F.lit(1700000000000) + eid).cast("string")),
+    ).otherwise(F.lit(""))
+    line = (
+        F.when(eid % 7 == 0, F.lit("# TYPE http_requests_total counter"))
+        .when(eid % 5 == 0, F.concat(F.lit("up "), val_txt))
+        .otherwise(
+            F.concat(
+                F.lit('http_requests_total{env="prod",host="h'),
+                (uid % 4).cast("string"),
+                F.lit('"} '),
+                val_txt,
+                ts_part,
+            )
+        )
+    )
+    p = parse_prometheus(line)
+    return ev.select(
+        eid.alias("event_id"),
+        p["name"].alias("name"),
+        F.when(p["labels"].isNotNull(), serialize_tags(p["labels"])).alias("labels_s"),
+        F.round(p["value"], 6).alias("value"),
+        p["timestamp_ms"].alias("timestamp_ms"),
+        p["error"].alias("error"),
+    )
+
+
+# ---- VRL type reflection (is_*, typeof) over the JSON variant -------
+# Oracle derives expectations from event_id % 6 (ground truth), not by
+# re-sniffing the JSON.
+
+
+@_q(
+    "type_functions",
+    """
+    SELECT event_id,
+           CASE event_id % 6 WHEN 0 THEN 'object' WHEN 1 THEN 'string'
+                WHEN 2 THEN 'integer' WHEN 3 THEN 'float'
+                WHEN 4 THEN 'array' ELSE 'boolean' END AS type_of,
+           event_id % 6 = 0 AS is_obj,
+           event_id % 6 = 1 AS is_str,
+           event_id % 6 = 2 AS is_int,
+           event_id % 6 = 3 AS is_flt
+    FROM events
+    """,
+)
+def q_type_functions(spark, sf):
+    from vector_spark.functions import types as T
+
+    ev = _t(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    vj = (
+        F.when(eid % 6 == 0, F.col("props"))
+        .when(eid % 6 == 1, F.concat(F.lit('"'), F.col("event_type"), F.lit('"')))
+        .when(eid % 6 == 2, uid.cast("string"))
+        .when(eid % 6 == 3, F.concat(uid.cast("string"), F.lit(".5")))
+        .when(eid % 6 == 4, F.lit("[1,2,3]"))
+        .otherwise(F.lit("true"))
+    )
+    return ev.select(
+        eid.alias("event_id"),
+        T.typeof_value(vj).alias("type_of"),
+        T.is_object(vj).alias("is_obj"),
+        T.is_string(vj).alias("is_str"),
+        T.is_integer(vj).alias("is_int"),
+        T.is_float(vj).alias("is_flt"),
+    )
+
+
+# ---- tag_types_externally (tag_types_externally.rs:93-119) ----------
+
+
+@_q(
+    "tag_types_json",
+    """
+    SELECT event_id,
+           '{"k":{"integer":' || json_extract_string(props, '$.k') || '}}'
+             AS tagged
+    FROM events
+    """,
+)
+def q_tag_types_json(spark, sf):
+    from vector_spark.functions.types import tag_types_externally
+
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id", tag_types_externally(F.col("props")).alias("tagged")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

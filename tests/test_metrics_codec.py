@@ -1,0 +1,183 @@
+"""Metric codec + type-reflection tests: the branches the driver's
+oracle fixtures don't reach (error arms, h/d statsd types, signed
+gauges, prometheus escapes/Inf/NaN, tag_types recursion)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from vector_spark.functions.metrics_codec import (
+    parse_prometheus,
+    parse_statsd,
+    serialize_tags,
+)
+from vector_spark.functions import types as T
+
+
+def _statsd_rows(spark, lines):
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    p = parse_statsd(F.col("line"))
+    cols = [v.alias(k) for k, v in p.items() if k != "tags"]
+    cols.append(
+        F.when(p["tags"].isNotNull(), serialize_tags(p["tags"])).alias("tags_s")
+    )
+    return {r["line"]: r.asDict() for r in df.select("line", *cols).collect()}
+
+
+def test_statsd_reference_matrix(spark):
+    # mirrors src/sources/statsd/parser.rs tests: counter with rate,
+    # signed gauges, timer base-unit conversion, set, distribution,
+    # sanitization, malformed packets
+    rows = _statsd_rows(
+        spark,
+        [
+            "foo:1|c",
+            "bar:2|c|@0.1",                      # value scaled 2*10
+            "gorky:-3|g",                        # incremental delta
+            "glork:320|ms|@0.1",                 # 0.32s, weight 10
+            "set:42|s",
+            "dist:6.7|d",
+            "histo:7|h",
+            "a/b c:1|c",                         # sanitize: a-b_c
+            "weird$name!:1|c",                   # strip non-alnum
+            "tagged:1|c|#empty,env:prod",        # valueless tag -> true
+            "nobody",                            # no colon
+            "foo:1",                             # no type
+            "foo:1|x",                           # unknown type
+            "foo:1|c|@-0.5",                     # negative rate
+            "foo:abc|c",                         # bad value
+            "foo:*5|g",                          # bad gauge prefix
+        ],
+    )
+    r = rows["foo:1|c"]
+    assert (r["name"], r["kind"], r["value"], r["error"]) == ("foo", "incremental", 1.0, None)
+    assert rows["bar:2|c|@0.1"]["value"] == pytest.approx(20.0)
+    assert rows["bar:2|c|@0.1"]["sample_rate"] == pytest.approx(10.0)
+    g = rows["gorky:-3|g"]
+    assert (g["kind"], g["value"]) == ("incremental", -3.0)
+    t = rows["glork:320|ms|@0.1"]
+    assert (t["value"], t["statistic"]) == (pytest.approx(0.32), "histogram")
+    s = rows["set:42|s"]
+    assert (s["set_value"], s["value"], s["kind"]) == ("42", None, "incremental")
+    assert rows["dist:6.7|d"]["statistic"] == "summary"
+    assert rows["histo:7|h"]["statistic"] == "histogram"
+    assert rows["a/b c:1|c"]["name"] == "a-b_c"
+    assert rows["weird$name!:1|c"]["name"] == "weirdname"
+    assert rows["tagged:1|c|#empty,env:prod"]["tags_s"] == "empty:true,env:prod"
+    for bad in ("nobody", "foo:1", "foo:1|x", "foo:1|c|@-0.5", "foo:abc|c", "foo:*5|g"):
+        assert rows[bad]["error"] is not None, bad
+        assert rows[bad]["name"] is None
+
+
+def test_statsd_absolute_gauge_and_zero_rate(spark):
+    rows = _statsd_rows(spark, ["g1:3|g", "g2:+4|g", "z:5|c|@0"])
+    assert rows["g1:3|g"]["kind"] == "absolute"
+    assert rows["g2:+4|g"]["kind"] == "incremental"
+    assert rows["g2:+4|g"]["value"] == 4.0
+    # sanitize_sampling: rate 0 behaves as 1 (parser.rs:174-180)
+    assert rows["z:5|c|@0"]["value"] == 5.0
+
+
+def _prom_rows(spark, lines):
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    p = parse_prometheus(F.col("line"))
+    cols = [v.alias(k) for k, v in p.items() if k != "labels"]
+    cols.append(
+        F.when(p["labels"].isNotNull(), serialize_tags(p["labels"])).alias("labels_s")
+    )
+    return {r["line"]: r.asDict() for r in df.select("line", *cols).collect()}
+
+
+def test_prometheus_reference_matrix(spark):
+    rows = _prom_rows(
+        spark,
+        [
+            "http_requests_total 1027",
+            'http_requests_total{method="post",code="200"} 1027 1395066363000',
+            'msdos_file_access_time{path="C:\\\\DIR\\\\FILE.TXT",error="Cannot find file:\\n\\"FILE.TXT\\""} 1.458255915e9',
+            "something_weird{problem=\"division by zero\"} +Inf -3982045",
+            "bad_value{} oops",
+            "# HELP http_requests_total The total number of HTTP requests.",
+            "# TYPE http_requests_total counter",
+            "",
+        ],
+    )
+    r = rows["http_requests_total 1027"]
+    assert (r["name"], r["value"], r["timestamp_ms"], r["labels_s"]) == (
+        "http_requests_total", 1027.0, None, "")
+    r = rows['http_requests_total{method="post",code="200"} 1027 1395066363000']
+    assert r["labels_s"] == "code:200,method:post"
+    assert r["timestamp_ms"] == 1395066363000
+    # escape handling: \\ -> \, \" -> ", \n -> newline (line.rs)
+    r = rows['msdos_file_access_time{path="C:\\\\DIR\\\\FILE.TXT",error="Cannot find file:\\n\\"FILE.TXT\\""} 1.458255915e9']
+    assert r["labels_s"] == 'error:Cannot find file:\n"FILE.TXT",path:C:\\DIR\\FILE.TXT'
+    assert r["value"] == pytest.approx(1.458255915e9)
+    r = rows["something_weird{problem=\"division by zero\"} +Inf -3982045"]
+    assert math.isinf(r["value"]) and r["value"] > 0
+    assert r["timestamp_ms"] == -3982045
+    assert rows["bad_value{} oops"]["error"] == "bad value"
+    for c in (
+        "# HELP http_requests_total The total number of HTTP requests.",
+        "# TYPE http_requests_total counter",
+        "",
+    ):
+        assert rows[c]["error"] == "not_a_metric_line"
+
+
+def test_prometheus_nan_and_neg_inf(spark):
+    rows = _prom_rows(spark, ["a NaN", "b -Inf"])
+    assert math.isnan(rows["a NaN"]["value"])
+    assert rows["b -Inf"]["value"] == float("-inf")
+
+
+def test_typeof_and_is_family(spark):
+    cases = [
+        ('{"a":1}', "object"),
+        ("[1,2]", "array"),
+        ('"hi"', "string"),
+        ("true", "boolean"),
+        ("false", "boolean"),
+        ("null", "null"),
+        (None, "null"),
+        ("42", "integer"),
+        ("-7", "integer"),
+        ("3.5", "float"),
+        ("1e3", "float"),        # exponent form is not i64-shaped
+        ("not json", "invalid"),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "v string")
+    got = [r[0] for r in df.select(T.typeof_value(F.col("v"))).collect()]
+    assert got == [t for _, t in cases]
+    flags = df.select(
+        T.is_object(F.col("v")), T.is_array(F.col("v")), T.is_string(F.col("v")),
+        T.is_boolean(F.col("v")), T.is_integer(F.col("v")), T.is_float(F.col("v")),
+        T.is_null(F.col("v")),
+    ).collect()
+    assert list(flags[0]) == [True, False, False, False, False, False, False]
+    assert list(flags[-1]) == [False] * 7
+
+
+def test_tag_types_externally_recursion(spark):
+    # the three reference examples (tag_types_externally.rs examples)
+    cases = [
+        ("123", '{"integer":123}'),
+        (
+            '{"message":"Hello world","request":{"duration_ms":67.9}}',
+            '{"message":{"string":"Hello world"},"request":{"duration_ms":{"float":67.9}}}',
+        ),
+        ('["foo","bar"]', '[{"string":"foo"},{"string":"bar"}]'),
+        ("null", "null"),  # Value::Null passes through (variant text form)
+        ('{"a":null,"b":[true,2]}', '{"a":null,"b":[{"boolean":true},{"integer":2}]}'),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "v string")
+    got = [r[0] for r in df.select(T.tag_types_externally(F.col("v"))).collect()]
+    assert got == [t for _, t in cases]
+
+
+def test_assert_eq(spark):
+    df = spark.createDataFrame([(1, 1), (2, 2)], "a int, b int")
+    T.assert_eq(df, F.col("a"), F.col("b"))  # passes
+    bad = spark.createDataFrame([(1, 1), (2, 3)], "a int, b int")
+    with pytest.raises(AssertionError):
+        T.assert_eq(bad, F.col("a"), F.col("b"), "a vs b")

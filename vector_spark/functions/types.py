@@ -1,0 +1,127 @@
+"""VRL type-reflection functions over dynamic (JSON-variant) values.
+
+Vector's Value is a dynamic union (lib/vector-core/src/event/value.rs:
+14-24); a Spark column has exactly one static type, so the type-
+reflection functions (`type_def`-driven `is_string`/`is_integer`/... ,
+lib/vrl/stdlib/src/is_*.rs) only make sense here over our *variant*
+representation: a JSON-encoded string column (the same representation
+the remap layer uses for schemaless residue). `typeof_value` sniffs the
+JSON text exactly as VRL's runtime discriminates Value variants:
+object/array/string/boolean/null structurally, integer vs float by
+numeric shape (Value::Integer is i64, Value::Float is f64 —
+value.rs:15-16).
+
+`tag_types_externally` (lib/vrl/stdlib/src/tag_types_externally.rs:
+93-119) wraps every scalar in a {"<type>": value} object, recursing
+through objects and arrays, nulls passing through untouched. Recursion
+over arbitrary-depth dynamic values is procedural, so it is an
+Arrow-batched pandas UDF (the documented escape hatch — never
+row-at-a-time Python); output is canonical JSON (sorted keys, compact
+separators) so it is hash-comparable across engines.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401 — needed to resolve pandas_udf type hints
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_INT_RX = r"^-?\d+$"
+
+
+def typeof_value(col: Column) -> Column:
+    """VRL typeof() over a JSON-variant string column: one of
+    'null' | 'object' | 'array' | 'string' | 'boolean' | 'integer' |
+    'float' | 'invalid' (unparseable text)."""
+    t = F.trim(col)
+    first = F.substring(t, 1, 1)
+    return (
+        F.when(col.isNull() | (t == "null"), F.lit("null"))
+        .when(first == "{", F.lit("object"))
+        .when(first == "[", F.lit("array"))
+        .when(first == '"', F.lit("string"))
+        .when(t.isin("true", "false"), F.lit("boolean"))
+        .when(t.rlike(_INT_RX), F.lit("integer"))
+        .when(t.try_cast("double").isNotNull(), F.lit("float"))
+        .otherwise(F.lit("invalid"))
+    )
+
+
+def is_string(col: Column) -> Column:
+    return typeof_value(col) == "string"
+
+
+def is_integer(col: Column) -> Column:
+    return typeof_value(col) == "integer"
+
+
+def is_float(col: Column) -> Column:
+    return typeof_value(col) == "float"
+
+
+def is_boolean(col: Column) -> Column:
+    return typeof_value(col) == "boolean"
+
+
+def is_array(col: Column) -> Column:
+    return typeof_value(col) == "array"
+
+
+def is_object(col: Column) -> Column:
+    return typeof_value(col) == "object"
+
+
+def is_null(col: Column) -> Column:
+    return typeof_value(col) == "null"
+
+
+def _tag_value(v):
+    # tag_types_externally.rs:93-119: scalars -> {"<type>": v}; objects
+    # recurse per entry; arrays recurse per element; null stays null.
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return {"boolean": v}
+    if isinstance(v, int):
+        return {"integer": v}
+    if isinstance(v, float):
+        return {"float": v}
+    if isinstance(v, str):
+        return {"string": v}
+    if isinstance(v, dict):
+        return {k: _tag_value(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_tag_value(x) for x in v]
+    return {"string": str(v)}
+
+
+def tag_types_externally(col: Column) -> Column:
+    """JSON-variant string -> type-tagged JSON-variant string
+    (canonical form: sorted keys, compact separators)."""
+    import json
+
+    @F.pandas_udf("string")
+    def _tag(s: "pd.Series") -> "pd.Series":
+        def one(txt):
+            if txt is None:
+                return None
+            try:
+                v = json.loads(txt)
+            except (ValueError, TypeError):
+                return None
+            tagged = _tag_value(v)
+            return json.dumps(tagged, sort_keys=True, separators=(",", ":"))
+
+        return s.map(one)
+
+    return _tag(col)
+
+
+def assert_eq(df: DataFrame, left: Column, right: Column, message: str = "") -> None:
+    """VRL assert_eq (lib/vrl/stdlib/src/assert_eq.rs) as an eager
+    batch check: raise if any row has left != right (null-safe)."""
+    bad = df.filter(~left.eqNullSafe(right))
+    n = bad.limit(1).count()
+    if n:
+        sample = bad.limit(3).collect()
+        raise AssertionError(f"assert_eq failed{': ' + message if message else ''}: {sample}")
