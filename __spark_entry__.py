@@ -2155,6 +2155,44 @@ def q_datadog_search(spark, sf):
     )
 
 
+# ---- dedup clustering: LSH pairs → connected components -------------
+# Oracle: the same LSH candidate pairs (sigs CTE shared with
+# lsh_candidates) closed transitively with a recursive CTE, component =
+# min reachable id. The Spark side runs the large-star/small-star
+# rounds (training/components.py).
+
+
+@_q(
+    "dedup_clusters",
+    _SIGS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a
+        JOIN sigs b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id, b.doc_id FROM sigs a
+        JOIN sigs b ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id)),
+    bi AS (SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM bi
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN bi e ON r.v = e.u)
+    SELECT u AS id, least(u, min(v)) AS component
+    FROM reach GROUP BY u
+    """,
+)
+def q_dedup_clusters(spark, sf):
+    from vector_spark.training.components import connected_components
+    from vector_spark.training.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, n=3, salts=_MINHASH_SALTS)
+    pairs = lsh_candidate_pairs(sigs, bands=[["h0", "h1"], ["h2", "h3"]])
+    return connected_components(pairs, "id_a", "id_b")
+
+
 # ---- statsd datagram codec (src/sources/statsd/parser.rs:16-185) ----
 # The oracle recomputes the expected metric from the GROUND-TRUTH source
 # columns (not by re-parsing), so it independently checks the parser.

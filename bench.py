@@ -76,6 +76,8 @@ HEADLINE = [
     "syslog_maps",
     "object_ops",
     "datadog_search",
+    "statsd_parser",
+    "prometheus_parser",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))

@@ -261,3 +261,69 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     # per-key aggregation on the bucket key also needs no shuffle
     agg = spark.table("buckdemo.sigs_b").groupBy("doc_id").agg(F.sum("sig"))
     assert count_shuffle_exchanges(agg) == 0
+
+
+# ---------------------------------------------------------- components
+
+
+def _uf_components(edges):
+    """Union-find reference: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    from vector_spark.training.components import connected_components
+
+    rng = random.Random(7)
+    # adversarial mix: long chains (force multiple star rounds), a
+    # clique, singleton pairs, and random noise edges
+    edges = [(i, i + 1) for i in range(0, 40)]          # one 41-node chain
+    edges += [(100 + i, 100 + j) for i in range(6) for j in range(i)]
+    edges += [(200, 201), (300, 301)]
+    edges += [(rng.randrange(400, 450), rng.randrange(400, 450)) for _ in range(60)]
+    rng.shuffle(edges)
+    # reversed/duplicate forms must not matter
+    edges += [(b, a) for a, b in edges[:10]]
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    want = _uf_components([(a, b) for a, b in edges if a != b])
+    assert got == want
+
+
+def test_keep_representatives(spark):
+    from vector_spark.training.components import (
+        connected_components,
+        keep_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    kept = sorted(
+        r["doc_id"] for r in keep_representatives(docs, comp).collect()
+    )
+    # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; singletons untouched
+    assert kept == [0, 1, 4, 5, 7]
