@@ -2379,6 +2379,112 @@ def q_tag_types_json(spark, sf):
     )
 
 
+# ---- multimodal plumbing: binary payloads + mapInPandas features ----
+# Payloads are the document text bytes (the stand-in for real blobs);
+# the stub "decode" is sha256 -> 8-dim feature (training/multimodal.py),
+# which DuckDB reproduces with its sha256(), so the mapInPandas batch
+# path itself is hash-checked. Feature components are exported as the
+# exact byte values (f*255) to dodge float32-vs-float64 rounding.
+
+
+@_q(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           ('0x' || substr(sha256(text), 1, 2))::INT AS f0,
+           ('0x' || substr(sha256(text), 3, 2))::INT AS f1,
+           ('0x' || substr(sha256(text), 5, 2))::INT AS f2,
+           ('0x' || substr(sha256(text), 7, 2))::INT AS f3
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark, sf):
+    from vector_spark.training.multimodal import extract_features
+
+    docs = _t(spark, sf, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_features(media)
+    byte_at = lambda i: F.round(F.get("feature", i) * 255).cast("int")  # noqa: E731
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "kind",
+        "n_bytes",
+        byte_at(0).alias("f0"),
+        byte_at(1).alias("f1"),
+        byte_at(2).alias("f2"),
+        byte_at(3).alias("f3"),
+    )
+
+
+# ---- video frame-sampling plumbing ----------------------------------
+
+
+@_q(
+    "frame_sample",
+    """
+    SELECT doc_id,
+           unnest(range(0, (n_chars % 300) + 1, 30)) AS frame_idx
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def q_frame_sample(spark, sf):
+    from vector_spark.training.multimodal import frame_sample
+
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(F.pmod("doc_id", F.lit(3)) == 2, F.lit("video"))
+        .otherwise(F.lit("image"))
+        .alias("kind"),
+        F.struct(
+            ((F.col("n_chars") % 300) + 1).cast("int").alias("n_frames")
+        ).alias("meta"),
+    )
+    return frame_sample(media, every_n=30).select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+    )
+
+
+# ---- aws_ec2_metadata stamping (injectable IMDS fetcher) ------------
+
+
+@_q(
+    "ec2_metadata",
+    """
+    SELECT event_id, event_type,
+           'i-0123456789abcdef0' AS instance_id,
+           'us-east-1' AS region,
+           'us-east-1a' AS availability_zone
+    FROM events
+    """,
+)
+def q_ec2_metadata(spark, sf):
+    from vector_spark.enrich import Ec2Metadata
+
+    ev = _t(spark, sf, "events")
+    op = Ec2Metadata(
+        fetcher=lambda: {
+            "instance-id": "i-0123456789abcdef0",
+            "region": "us-east-1",
+            "availability-zone": "us-east-1a",
+        },
+        fields=["instance-id", "region", "availability-zone"],
+    )
+    return op.apply(ev.select("event_id", "event_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
