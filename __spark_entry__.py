@@ -2219,32 +2219,36 @@ def q_dedup_clusters(spark, sf):
            CASE WHEN user_id % 4 = 3
                 THEN CAST(user_id AS VARCHAR) || '.25' END AS set_value,
            CASE WHEN event_id % 2 = 0
-                THEN 'env:prod,flag:true,host:h' || CAST(user_id % 4 AS VARCHAR)
+                THEN 'host:h' || CAST(user_id % 4 AS VARCHAR) || ',env:prod,flag:true'
            END AS tags_s
     FROM events
     """,
 )
 def q_statsd_parser(spark, sf):
-    from vector_spark.functions.metrics_codec import parse_statsd, serialize_tags
+    from vector_spark.functions.metrics_codec import parse_statsd
 
     ev = _t(spark, sf, "events")
     eid, uid = F.col("event_id"), F.col("user_id")
+    # fixture is built WITHOUT when() branches (element_at over
+    # precomputed branch strings): the parser references this expression
+    # many times and Spark's subexpression elimination only shares
+    # condition-free trees (see NOTES_r2.md / functions/grok.py)
+    pick = lambda c, a, b: F.element_at(F.array(b, a), c.cast("int") + 1)  # noqa: E731
     val_txt = F.concat(uid.cast("string"), F.lit(".25"))
     mtype = F.element_at(
         F.array(F.lit("c"), F.lit("g"), F.lit("ms"), F.lit("s")),
         (uid % 4 + 1).cast("int"),
     )
-    value_part = F.when(
-        (mtype == "g") & (eid % 2 == 0), F.concat(F.lit("+"), val_txt)
-    ).otherwise(val_txt)
-    sampling = F.when(eid % 3 == 0, F.lit("|@0.5")).otherwise(F.lit(""))
-    tags = F.when(
+    sign = pick((uid % 4 == 1) & (eid % 2 == 0), F.lit("+"), F.lit(""))
+    sampling = pick(eid % 3 == 0, F.lit("|@0.5"), F.lit(""))
+    tags = pick(
         eid % 2 == 0,
         F.concat(F.lit("|#host:h"), (uid % 4).cast("string"), F.lit(",env:prod,flag")),
-    ).otherwise(F.lit(""))
+        F.lit(""),
+    )
     line = F.concat(
         F.lit("app/"), F.col("event_type"), F.lit(" latency:"),
-        value_part, F.lit("|"), mtype, sampling, tags,
+        sign, val_txt, F.lit("|"), mtype, sampling, tags,
     )
     p = parse_statsd(line)
     return ev.select(
@@ -2256,7 +2260,7 @@ def q_statsd_parser(spark, sf):
         F.round(p["sample_rate"], 6).alias("sample_rate"),
         p["statistic"].alias("statistic"),
         p["set_value"].alias("set_value"),
-        F.when(p["tags"].isNotNull(), serialize_tags(p["tags"])).alias("tags_s"),
+        p["tags_s"].alias("tags_s"),
     )
 
 
@@ -2283,33 +2287,43 @@ def q_statsd_parser(spark, sf):
     """,
 )
 def q_prometheus_parser(spark, sf):
-    from vector_spark.functions.metrics_codec import parse_prometheus, serialize_tags
+    from vector_spark.functions.metrics_codec import parse_prometheus
 
     ev = _t(spark, sf, "events")
     eid, uid = F.col("event_id"), F.col("user_id")
+    # condition-free fixture (see statsd_parser comment): all three
+    # line shapes are built unconditionally, one element_at picks
     val_txt = F.concat(uid.cast("string"), F.lit(".25"))
-    ts_part = F.when(
-        eid % 2 == 0,
-        F.concat(F.lit(" "), (F.lit(1700000000000) + eid).cast("string")),
-    ).otherwise(F.lit(""))
-    line = (
-        F.when(eid % 7 == 0, F.lit("# TYPE http_requests_total counter"))
-        .when(eid % 5 == 0, F.concat(F.lit("up "), val_txt))
-        .otherwise(
-            F.concat(
-                F.lit('http_requests_total{env="prod",host="h'),
-                (uid % 4).cast("string"),
-                F.lit('"} '),
-                val_txt,
-                ts_part,
-            )
-        )
+    ts_part = F.element_at(
+        F.array(
+            F.concat(F.lit(" "), (F.lit(1700000000000) + eid).cast("string")),
+            F.lit(""),
+        ),
+        (eid % 2 + 1).cast("int"),
+    )
+    labeled = F.concat(
+        F.lit('http_requests_total{env="prod",host="h'),
+        (uid % 4).cast("string"),
+        F.lit('"} '),
+        val_txt,
+        ts_part,
+    )
+    bare = F.concat(F.lit("up "), val_txt)
+    shape = (  # 1 = comment, 2 = bare, 3 = labeled (comment wins ties)
+        F.lit(3)
+        - (eid % 5 == 0).cast("int")
+        - F.lit(2) * (eid % 7 == 0).cast("int")
+        + (eid % 35 == 0).cast("int")
+    )
+    line = F.element_at(
+        F.array(F.lit("# TYPE http_requests_total counter"), bare, labeled),
+        shape.cast("int"),
     )
     p = parse_prometheus(line)
     return ev.select(
         eid.alias("event_id"),
         p["name"].alias("name"),
-        F.when(p["labels"].isNotNull(), serialize_tags(p["labels"])).alias("labels_s"),
+        p["labels_s"].alias("labels_s"),
         F.round(p["value"], 6).alias("value"),
         p["timestamp_ms"].alias("timestamp_ms"),
         p["error"].alias("error"),

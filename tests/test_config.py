@@ -178,3 +178,79 @@ def test_route_with_datadog_search_lanes(spark):
     assert all(r.ok for r in results), [
         (c.extract_from, c.failures) for r in results for c in r.checks
     ]
+
+
+def test_new_registry_types(spark, events_path):
+    """Round-2 registry additions: csv_parser, add_tags/remove_tags,
+    metric_to_log, geoip, swimlanes alias — all through the TOML
+    front-end."""
+    toml = f"""
+[sources.events]
+type = "parquet"
+path = "{events_path}"
+
+[transforms.lines]
+type = "add_fields"
+inputs = ["events"]
+  [transforms.lines.fields]
+  message = "{{{{event_type}}}},{{{{user_id}}}}"
+  ip = "10.1.2.3"
+
+[transforms.csvd]
+type = "csv_parser"
+inputs = ["lines"]
+field = "message"
+schema = "etype string, uid long"
+
+[transforms.lanes]
+type = "swimlanes"
+inputs = ["csvd"]
+  [transforms.lanes.route]
+  clicky = "etype = 'click'"
+
+[transforms.located]
+type = "geoip"
+inputs = ["lanes.clicky"]
+source = "ip"
+target = "geo"
+  [transforms.located.table]
+  schema = "ip_lo long, ip_hi long, country string"
+  rows = [[167837696, 167903231, "NL"]]
+
+[transforms.tagged]
+type = "add_tags"
+inputs = ["located"]
+  [transforms.tagged.tags]
+  env = "prod"
+  tmp = "x"
+
+[transforms.untagged]
+type = "remove_tags"
+inputs = ["tagged"]
+tags = ["tmp"]
+
+[sinks.out]
+type = "memory"
+inputs = ["untagged"]
+"""
+    topo = compile_config(spark, toml)
+    rows = topo.run()["out"]
+    assert rows, "clicky lane empty"
+    r = rows[0].asDict()
+    assert r["etype"] == "click" and isinstance(r["uid"], int)
+    # 10.1.2.3 is inside 10.1.0.0/16 -> country joined
+    assert r["geo_country"] == "NL"
+    assert r["tags"] == {"env": "prod"}
+
+
+def test_metric_to_log_registry_type(spark):
+    from pyspark.sql import Row
+
+    import vector_spark.plans.config as C
+
+    df = spark.createDataFrame(
+        [Row(name="req", ts="2026-08-17 00:00:00", value=1.5, tags={"host": "h1"})],
+    )
+    out = C.TRANSFORMS["metric_to_log"](df, {}).collect()
+    assert len(out) == 1 and '"name":"req"' in out[0]["message"]
+    assert out[0]["host"] == "h1"

@@ -20,7 +20,7 @@ def _statsd_rows(spark, lines):
     p = parse_statsd(F.col("line"))
     cols = [v.alias(k) for k, v in p.items() if k != "tags"]
     cols.append(
-        F.when(p["tags"].isNotNull(), serialize_tags(p["tags"])).alias("tags_s")
+        F.when(p["tags"].isNotNull(), serialize_tags(p["tags"])).alias("tags_sorted")
     )
     return {r["line"]: r.asDict() for r in df.select("line", *cols).collect()}
 
@@ -64,7 +64,9 @@ def test_statsd_reference_matrix(spark):
     assert rows["histo:7|h"]["statistic"] == "histogram"
     assert rows["a/b c:1|c"]["name"] == "a-b_c"
     assert rows["weird$name!:1|c"]["name"] == "weirdname"
+    # both serializations: inline (input order) and map-sorted agree here
     assert rows["tagged:1|c|#empty,env:prod"]["tags_s"] == "empty:true,env:prod"
+    assert rows["tagged:1|c|#empty,env:prod"]["tags_sorted"] == "empty:true,env:prod"
     for bad in ("nobody", "foo:1", "foo:1|x", "foo:1|c|@-0.5", "foo:abc|c", "foo:*5|g"):
         assert rows[bad]["error"] is not None, bad
         assert rows[bad]["name"] is None
@@ -84,7 +86,9 @@ def _prom_rows(spark, lines):
     p = parse_prometheus(F.col("line"))
     cols = [v.alias(k) for k, v in p.items() if k != "labels"]
     cols.append(
-        F.when(p["labels"].isNotNull(), serialize_tags(p["labels"])).alias("labels_s")
+        F.when(p["labels"].isNotNull(), serialize_tags(p["labels"])).alias(
+            "labels_sorted"
+        )
     )
     return {r["line"]: r.asDict() for r in df.select("line", *cols).collect()}
 
@@ -107,11 +111,13 @@ def test_prometheus_reference_matrix(spark):
     assert (r["name"], r["value"], r["timestamp_ms"], r["labels_s"]) == (
         "http_requests_total", 1027.0, None, "")
     r = rows['http_requests_total{method="post",code="200"} 1027 1395066363000']
-    assert r["labels_s"] == "code:200,method:post"
+    assert r["labels_s"] == "method:post,code:200"  # exposition order
+    assert r["labels_sorted"] == "code:200,method:post"  # map, sorted
     assert r["timestamp_ms"] == 1395066363000
     # escape handling: \\ -> \, \" -> ", \n -> newline (line.rs)
     r = rows['msdos_file_access_time{path="C:\\\\DIR\\\\FILE.TXT",error="Cannot find file:\\n\\"FILE.TXT\\""} 1.458255915e9']
-    assert r["labels_s"] == 'error:Cannot find file:\n"FILE.TXT",path:C:\\DIR\\FILE.TXT'
+    assert r["labels_sorted"] == 'error:Cannot find file:\n"FILE.TXT",path:C:\\DIR\\FILE.TXT'
+    assert r["labels_s"] == 'path:C:\\DIR\\FILE.TXT,error:Cannot find file:\n"FILE.TXT"'
     assert r["value"] == pytest.approx(1.458255915e9)
     r = rows["something_weird{problem=\"division by zero\"} +Inf -3982045"]
     assert math.isinf(r["value"]) and r["value"] > 0

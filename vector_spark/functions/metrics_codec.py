@@ -13,17 +13,26 @@ Reference semantics:
   metric line `name{label="value",...} value [timestamp_ms]` with label
   escapes `\\\\`, `\\"`, `\\n`; value may be `NaN`/`+Inf`/`-Inf`.
 
-Both are pure Column-expression parsers (no UDFs): the statsd grammar is
-delimiter-based (split/substring), the prometheus one is three regex
-captures plus a label `regexp_extract_all` pair. Comment / blank / HELP /
-TYPE lines yield `error = 'not_a_metric_line'` so callers can route them
-to the error lane (FallibleTransform convention, operators/base.py).
+Plan shape (the same single-pass architecture as functions/grok.py):
+each grammar is ONE regex executed once per row via
+`regex_extract_named` (the captures come out of a single hoisted
+split), and every output column is small scalar math over those shared
+captures. Earlier drafts that split per component, or re-packed
+computed fields behind a when() root, generated projection methods of
+10.7-16 KB of bytecode — past HotSpot's 8000-byte JIT ceiling, so the
+stage ran interpreted at 3-7× the cost (measured; sizes via
+`df.explain("codegen")` maxMethodCodeSize). The `tags`/`labels` MAP
+outputs keep the HOF construction for API completeness, but the flat
+`tags_s`/`labels_s` serializations are plain regexp_replace pipelines,
+so the hot path never pays an interpreted HOF.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column
+
+from vector_spark.functions.grok import regex_extract_named
 
 _BIG = 1 << 30  # "rest of string" length for substring()
 
@@ -33,14 +42,15 @@ _BIG = 1 << 30  # "rest of string" length for substring()
 def _sanitize_key(key: Column) -> Column:
     """parser.rs:167-172 sanitize_key: '/'->'-', \\s+ -> '_', then strip
     anything outside [a-zA-Z_\\-0-9.] (same order as the reference)."""
-    s = F.regexp_replace(key, "/", "-")
+    s = F.translate(key, "/", "-")  # single-char swap: no regex needed
     s = F.regexp_replace(s, r"\s+", "_")
     return F.regexp_replace(s, r"[^a-zA-Z_\-0-9.]", "")
 
 
 def _tags_map(tags_part: Column) -> Column:
     """'#k:v,k2,k3:x' -> map<string,string>; valueless keys get 'true'
-    (parser.rs:131-152)."""
+    (parser.rs:131-152). HOF-based — prefer the flat `tags_s` output on
+    hot paths (see module docstring)."""
     chunks = F.split(F.substring(tags_part, 2, _BIG), ",")
     keys = F.transform(chunks, lambda c: F.substring_index(c, ":", 1))
     vals = F.transform(
@@ -52,6 +62,26 @@ def _tags_map(tags_part: Column) -> Column:
     return F.map_from_arrays(keys, vals)
 
 
+def _tags_inline(tags_part: Column) -> Column:
+    """'#k:v,k2' -> 'k:v,k2:true' (input order, valueless -> true) with
+    one regexp_replace — no HOFs, codegen-friendly."""
+    s = F.substring(tags_part, 2, _BIG)
+    return F.regexp_replace(s, r"(^|,)([^:,]+)(?=,|$)", "$1$2:true")
+
+
+# the whole datagram grammar as ONE regex (it is regular): key : value
+# | type [|@rate] [|#tags] [|ignored...]. Trailing parts that are
+# neither sampling nor tags are absorbed silently, matching
+# parser.rs:37-55 (parts.get(2/3).filter(starts_with ...) — a non-@,
+# non-# extra component is simply not sampling/tags, never an error).
+STATSD_RX = (
+    r"^([^:]*):([^|]*)\|([^|]*)"  # key, value, type
+    r"(?:\|(@[^|]*))?"            # optional @rate (kept with the @)
+    r"(?:\|(#[^|]*))?"            # optional #tags (kept with the #)
+    r"(?:\|.*)?$"                 # ignored trailing components
+)
+
+
 def parse_statsd(col: Column) -> dict[str, Column]:
     """Parse one statsd/dogstatsd datagram into flat metric columns.
 
@@ -59,42 +89,43 @@ def parse_statsd(col: Column) -> dict[str, Column]:
     value (double; counters pre-scaled by 1/rate, ms converted to
     seconds), sample_rate (the 1/@rate multiplier, 1.0 when absent),
     statistic (histogram|summary for timing/distribution types),
-    set_value (the raw member for 's'), tags (map), error.
-    """
-    kv = F.split(col, ":", 2)
-    key, body = F.get(kv, 0), F.get(kv, 1)
-    parts = F.split(body, r"\|")
-    value_str, mtype = F.get(parts, 0), F.get(parts, 1)
-    p2, p3 = F.get(parts, 2), F.get(parts, 3)
+    set_value (the raw member for 's'), tags_s ('k:v,...' input order),
+    tags (map form), error.
 
-    sampling = F.when(p2.startswith("@"), p2)
-    raw_rate = F.substring(sampling, 2, _BIG).try_cast("double")
+    One regex execution per row (regex_extract_named); every output is
+    small scalar math over the five shared captures. The first draft
+    split/packed per component and its generated projection method hit
+    8166 bytecode bytes — past HotSpot's 8000-byte JIT ceiling, so the
+    whole stage ran interpreted, ~6× slower (measured; same failure
+    mode NOTES_r2.md documents for oversized expression trees)."""
+    g = regex_extract_named(
+        col,
+        STATSD_RX,
+        [("key", None), ("value", None), ("type", None), ("rate", None), ("tags", None)],
+    )
+    key, value_str, mtype = g["key"], g["value"], g["type"]
+    rate_str, tags_str = g["rate"], g["tags"]
+
+    raw_rate = F.substring(rate_str, 2, _BIG).try_cast("double")
     # sanitize_sampling: 0.0 behaves as 1.0 (parser.rs:174-180)
-    rate_mult = F.when(sampling.isNull(), F.lit(1.0)).otherwise(
+    rate_mult = F.when(rate_str.isNull(), F.lit(1.0)).otherwise(
         1.0 / F.when(raw_rate == 0.0, F.lit(1.0)).otherwise(raw_rate)
     )
-
-    tags_cand = F.when(sampling.isNotNull(), p3).otherwise(p2)
-    tags_part = F.when(tags_cand.startswith("#"), tags_cand)
 
     v = value_str.try_cast("double")
     first = F.substring(value_str, 1, 1)
     g_signed = first.isin("+", "-")
-    g_digit = first.rlike("^[0-9]$")
+    g_digit = (first >= "0") & (first <= "9")
 
     error = (
-        F.when(F.instr(col, ":") == 0, F.lit("missing ':' separator"))
-        .when(F.size(parts) < 2, F.lit("body needs value|type"))
+        F.when(mtype.isNull(), F.lit("malformed packet"))
         .when(~mtype.isin("c", "g", "ms", "h", "d", "s"), F.lit("unknown metric type"))
-        .when(sampling.isNotNull() & (raw_rate < 0), F.lit("negative sample rate"))
+        .when(rate_str.isNotNull() & (raw_rate < 0), F.lit("negative sample rate"))
         .when(mtype.isin("c", "ms", "h", "d") & v.isNull(), F.lit("bad value"))
         .when((mtype == "g") & ~(g_signed | g_digit), F.lit("invalid gauge value prefix"))
-        .when(
-            (mtype == "g") & F.substring(value_str, 2, _BIG).try_cast("double").isNull() & g_signed,
-            F.lit("bad value"),
-        )
-        .when((mtype == "g") & g_digit & v.isNull(), F.lit("bad value"))
+        .when((mtype == "g") & v.isNull(), F.lit("bad value"))
     )
+    ok = error.isNull()
 
     kind = F.when((mtype == "g") & g_digit, F.lit("absolute")).otherwise(
         F.lit("incremental")
@@ -102,16 +133,15 @@ def parse_statsd(col: Column) -> dict[str, Column]:
     value = (
         F.when(mtype == "c", v * rate_mult)
         .when(mtype == "ms", v / 1000.0)
-        .when(mtype.isin("h", "d"), v)
-        # '+5'/'-5' parse fine as doubles; the branch split mirrors
-        # parser.rs:80-101 but the arithmetic is identical
-        .when(mtype == "g", v)
+        # '+5'/'-5' parse fine as doubles; the branch split in
+        # parser.rs:80-101 reduces to the same arithmetic
+        .when(mtype.isin("h", "d", "g"), v)
     )
     statistic = F.when(mtype.isin("ms", "h"), F.lit("histogram")).when(
         mtype == "d", F.lit("summary")
     )
 
-    null_if_err = lambda c: F.when(error.isNull(), c)  # noqa: E731
+    null_if_err = lambda c: F.when(ok, c)  # noqa: E731
     return {
         "name": null_if_err(_sanitize_key(key)),
         "mtype": null_if_err(mtype),
@@ -120,13 +150,18 @@ def parse_statsd(col: Column) -> dict[str, Column]:
         "sample_rate": null_if_err(rate_mult),
         "statistic": null_if_err(statistic),
         "set_value": null_if_err(F.when(mtype == "s", value_str)),
-        "tags": null_if_err(F.when(tags_part.isNotNull(), _tags_map(tags_part))),
+        "tags_s": null_if_err(_tags_inline(tags_str)),
+        "tags": null_if_err(F.when(tags_str.isNotNull(), _tags_map(tags_str))),
         "error": error,
     }
 
 
 # -- prometheus text format -------------------------------------------
 
+# keep ^/$ INSIDE the pattern: regex_extract_named's `(?:.*?)` wrapper
+# would otherwise let a comment line match mid-string; the inner anchors
+# still bind to the string ends (no MULTILINE), keeping full-line match
+# semantics
 PROM_LINE_RX = r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{(.*)\})?\s+(\S+)(?:\s+(-?\d+))?\s*$"
 PROM_LABEL_RX = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:\\.|[^"\\])*)"'
 
@@ -144,21 +179,20 @@ def _unescape_label(v: Column) -> Column:
 def parse_prometheus(col: Column) -> dict[str, Column]:
     """Parse one Prometheus exposition metric line.
 
-    Returns: name, labels (map<string,string>, unescaped), value
-    (double; NaN/+Inf/-Inf honored), timestamp_ms (nullable long),
-    error ('not_a_metric_line' for comments/blank/HELP/TYPE lines).
-    """
+    Returns: name, labels_s ('k:v,...' exposition order, unescaped),
+    labels (map form), value (double; NaN/+Inf/-Inf honored),
+    timestamp_ms (nullable long), error ('not_a_metric_line' for
+    comments/blank/HELP/TYPE lines). Single regex pass per row via
+    regex_extract_named (anchored by that helper)."""
     line = F.trim(col)
-    matched = line.rlike(PROM_LINE_RX) & ~line.startswith("#") & (line != "")
-    name = F.regexp_extract(line, PROM_LINE_RX, 1)
-    blob = F.regexp_extract(line, PROM_LINE_RX, 2)
-    value_str = F.regexp_extract(line, PROM_LINE_RX, 3)
-    ts_str = F.regexp_extract(line, PROM_LINE_RX, 4)
-
-    keys = F.regexp_extract_all(blob, F.lit(PROM_LABEL_RX), 1)
-    vals = F.transform(
-        F.regexp_extract_all(blob, F.lit(PROM_LABEL_RX), 2), _unescape_label
+    g = regex_extract_named(
+        line,
+        PROM_LINE_RX,
+        [("name", None), ("blob", None), ("value_str", None), ("ts", "long")],
     )
+    name, blob, value_str, ts = g["name"], g["blob"], g["value_str"], g["ts"]
+    matched = name.isNotNull()
+
     value = (
         F.when(value_str == "NaN", F.lit(float("nan")))
         .when(value_str.isin("+Inf", "Inf"), F.lit(float("inf")))
@@ -168,19 +202,35 @@ def parse_prometheus(col: Column) -> dict[str, Column]:
     error = F.when(~matched, F.lit("not_a_metric_line")).when(
         value.isNull(), F.lit("bad value")
     )
-    null_if_err = lambda c: F.when(error.isNull(), c)  # noqa: E731
+    ok = error.isNull()
+
+    # 'k="v",k2="v2"' -> 'k:v,k2:v2' without HOFs: strip the ="..."
+    # decoration in one pass, then apply the unescapes to the joined
+    # string (identical per-value result; a label value containing the
+    # \\x00 sentinel byte is outside the codec's input contract)
+    labels_s = _unescape_label(
+        F.regexp_replace(F.coalesce(blob, F.lit("")), PROM_LABEL_RX, "$1:$2")
+    )
+    keys = F.regexp_extract_all(blob, F.lit(PROM_LABEL_RX), 1)
+    vals = F.transform(
+        F.regexp_extract_all(blob, F.lit(PROM_LABEL_RX), 2), _unescape_label
+    )
+
+    null_if_err = lambda c: F.when(ok, c)  # noqa: E731
     return {
         "name": null_if_err(name),
-        "labels": null_if_err(F.map_from_arrays(keys, vals)),
+        "labels_s": null_if_err(labels_s),
+        "labels": null_if_err(F.map_from_arrays(F.coalesce(keys, F.array()), F.coalesce(vals, F.array()))),
         "value": null_if_err(value),
-        "timestamp_ms": null_if_err(ts_str.try_cast("long")),
+        "timestamp_ms": null_if_err(ts),
         "error": error,
     }
 
 
 def serialize_tags(tags: Column) -> Column:
     """Deterministic 'k:v,k2:v2' form (sorted by key) for hashing/
-    comparison — BTreeMap iteration order in the reference."""
+    comparison — BTreeMap iteration order in the reference. HOF-based;
+    prefer the codecs' inline `tags_s`/`labels_s` on hot paths."""
     return F.concat_ws(
         ",",
         F.array_sort(

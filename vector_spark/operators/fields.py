@@ -155,6 +155,10 @@ class AddTags(Transform):
 
     def apply(self, df: DataFrame) -> DataFrame:
         new = F.create_map(*[x for k, v in self.tags.items() for x in (F.lit(k), F.lit(v))])
+        if self.tags_col not in df.columns:
+            # a metric without tags has an empty tag map (metric.rs
+            # with_tags(None)) — inserting creates the map
+            return df.withColumn(self.tags_col, new)
         keys = F.array(*[F.lit(k) for k in self.tags])
         old = F.col(self.tags_col)
         # drop colliding keys from the losing side before map_concat so

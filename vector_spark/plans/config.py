@@ -386,6 +386,64 @@ def _t_passthrough(df, cfg):
     return df
 
 
+def _t_add_tags(df, cfg):
+    """Metric-tag insert (add_tags.rs): `tags = {k = "v"}`, `overwrite`."""
+    from vector_spark.operators.fields import AddTags
+
+    return AddTags(
+        dict(cfg["tags"]),
+        overwrite=bool(cfg.get("overwrite", True)),
+        tags_col=cfg.get("tags_col", "tags"),
+    ).apply(df)
+
+
+def _t_remove_tags(df, cfg):
+    """Metric-tag delete (remove_tags.rs): `tags = ["k", ...]`."""
+    from vector_spark.operators.fields import RemoveTags
+
+    return RemoveTags(list(cfg["tags"]), tags_col=cfg.get("tags_col", "tags")).apply(df)
+
+
+def _t_metric_to_log(df, cfg):
+    """Metric → structured log serialization (metric_to_log.rs)."""
+    from vector_spark.operators.metric_to_log import MetricToLog
+
+    return MetricToLog(
+        host_tag=cfg.get("host_tag", "host"),
+        timestamp_col=cfg.get("timestamp_col", "ts"),
+    ).apply(df)
+
+
+def _t_csv_parser(df, cfg):
+    """VRL parse_csv over `field` with a declared `schema`; columns are
+    flattened to the root (or nested under `target_field`)."""
+    from vector_spark.functions.parse import parse_csv
+
+    field = cfg.get("field", "message")
+    parsed = parse_csv(F.col(field), cfg["schema"], sep=cfg.get("separator", ","))
+    if "target_field" in cfg:
+        out = df.withColumn(cfg["target_field"], parsed)
+    else:
+        out = df.withColumn("__csv", parsed).select("*", "__csv.*").drop("__csv")
+    return out.drop(field) if cfg.get("drop_field", False) else out
+
+
+def _t_geoip(df, cfg):
+    """geoip broadcast range join; the CIDR table comes from a parquet
+    `path` (e.g. functions/mmdb.py output) or inline `rows`/`schema`."""
+    from vector_spark.enrich import geoip_enrich
+
+    spark = df.sparkSession
+    tbl = cfg["table"]
+    if "path" in tbl:
+        cidr = spark.read.parquet(tbl["path"])
+    else:
+        cidr = spark.createDataFrame(tbl["rows"], tbl["schema"])
+    return geoip_enrich(
+        df, cfg.get("source", "ip"), cidr, target_prefix=cfg.get("target", "geoip") + "_"
+    )
+
+
 def _t_aws_ec2_metadata(df, cfg):
     """Inline `metadata` map plays the IMDS fetch in configs (the real
     fetcher is injectable on the Ec2Metadata class)."""
@@ -426,6 +484,11 @@ TRANSFORMS = {
     "log_to_metric": _t_log_to_metric,
     "tag_cardinality_limit": _t_tag_cardinality_limit,
     "enrich": _t_enrich,
+    "add_tags": _t_add_tags,
+    "remove_tags": _t_remove_tags,
+    "metric_to_log": _t_metric_to_log,
+    "csv_parser": _t_csv_parser,
+    "geoip": _t_geoip,
 }
 
 
@@ -479,7 +542,7 @@ def expand_macros(transforms: dict) -> dict:
     expanded: dict[str, dict] = {}
     for name, cfg in transforms.items():
         kind = cfg.get("type")
-        if kind == "route":
+        if kind in ("route", "swimlanes"):  # swimlanes = pre-0.17 alias
             for lane, cond in cfg["route"].items():
                 expanded[f"{name}.{lane}"] = {
                     "type": "filter",
