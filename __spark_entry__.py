@@ -2193,6 +2193,47 @@ def q_dedup_clusters(spark, sf):
     return connected_components(pairs, "id_a", "id_b")
 
 
+# ---- dedup decision: keep one representative per cluster ------------
+
+
+@_q(
+    "dedup_keep",
+    _SIGS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a
+        JOIN sigs b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id, b.doc_id FROM sigs a
+        JOIN sigs b ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id)),
+    bi AS (SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM bi
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN bi e ON r.v = e.u),
+    comp AS (SELECT u AS id, least(u, min(v)) AS component
+             FROM reach GROUP BY u)
+    SELECT d.doc_id, d.source, d.n_chars FROM documents d
+    LEFT JOIN comp ON comp.id = d.doc_id
+    WHERE comp.id IS NULL OR comp.id = comp.component
+    """,
+)
+def q_dedup_keep(spark, sf):
+    from vector_spark.training.components import (
+        connected_components,
+        keep_representatives,
+    )
+    from vector_spark.training.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, n=3, salts=_MINHASH_SALTS)
+    pairs = lsh_candidate_pairs(sigs, bands=[["h0", "h1"], ["h2", "h3"]])
+    comp = connected_components(pairs, "id_a", "id_b")
+    return keep_representatives(docs, comp).select("doc_id", "source", "n_chars")
+
+
 # ---- statsd datagram codec (src/sources/statsd/parser.rs:16-185) ----
 # The oracle recomputes the expected metric from the GROUND-TRUTH source
 # columns (not by re-parsing), so it independently checks the parser.

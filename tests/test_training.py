@@ -327,3 +327,38 @@ def test_keep_representatives(spark):
     )
     # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; singletons untouched
     assert kept == [0, 1, 4, 5, 7]
+
+
+def test_ivf_lloyd_refinement(spark):
+    """Lloyd rounds must not increase inertia (monotone k-means
+    guarantee) and the refined quantizer keeps the exact-mode contract
+    (nprobe == n_cells still equals brute force)."""
+    from vector_spark.training.similarity import (
+        brute_force_topk,
+        ivf_centroids,
+        ivf_centroids_lloyd,
+        ivf_inertia,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c = emb.select(emb.vec_id.alias("cid"), emb.embedding.alias("ce"))
+
+    seed = ivf_centroids(c, 8, "cid", "ce")
+    refined = ivf_centroids_lloyd(c, 8, "cid", "ce", iters=3)
+    i0 = ivf_inertia(c, seed, "cid", "ce")
+    i3 = ivf_inertia(c, refined, "cid", "ce")
+    assert i3 <= i0 + 1e-9, (i0, i3)
+
+    q = emb.filter("vec_id < 10").select(
+        emb.vec_id.alias("qid"), emb.embedding.alias("qe")
+    )
+    cand = emb.filter("vec_id >= 10").select(
+        emb.vec_id.alias("cid"), emb.embedding.alias("ce")
+    )
+    exact = {(r["qid"], r["cid"]) for r in brute_force_topk(q, cand, k=5).collect()}
+    got = {
+        (r["qid"], r["cid"])
+        for r in ivf_topk(q, cand, k=5, n_cells=8, nprobe=8, refine_iters=2).collect()
+    }
+    assert got == exact
