@@ -2155,6 +2155,51 @@ def q_datadog_search(spark, sf):
     )
 
 
+# ---- heroku logplex drain lines (src/sources/heroku_logs.rs) --------
+
+
+@_q(
+    "logplex_parser",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 9 = 0 THEN NULL
+                ELSE epoch_us(ts) END AS ts_us,
+           CASE WHEN event_id % 9 = 0 THEN NULL
+                ELSE 'host' || CAST(user_id % 4 AS VARCHAR) END AS host,
+           CASE WHEN event_id % 9 = 0 THEN NULL ELSE 'app' END AS app_name,
+           CASE WHEN event_id % 9 = 0 THEN NULL
+                ELSE 'web.' || CAST(user_id AS VARCHAR) END AS proc_id,
+           CASE WHEN event_id % 9 = 0 THEN 'not logplex'
+                ELSE 'at=info type=' || event_type END AS message
+    FROM events
+    """,
+)
+def q_logplex_parser(spark, sf):
+    from vector_spark.functions.parse import parse_logplex
+
+    ev = _t(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'+00:00'")
+    good = F.concat(
+        F.lit("267 <158>1 "), iso,
+        F.lit(" host"), (uid % 4).cast("string"),
+        F.lit(" app web."), uid.cast("string"),
+        F.lit(" - at=info type="), F.col("event_type"),
+    )
+    line = F.element_at(
+        F.array(good, F.lit("not logplex")), ((eid % 9 == 0).cast("int") + 1)
+    )
+    p = parse_logplex(line)
+    return ev.select(
+        eid.alias("event_id"),
+        F.unix_micros(p["timestamp"]).alias("ts_us"),
+        p["host"].alias("host"),
+        p["app_name"].alias("app_name"),
+        p["proc_id"].alias("proc_id"),
+        p["message"].alias("message"),
+    )
+
+
 # ---- dedup clustering: LSH pairs → connected components -------------
 # Oracle: the same LSH candidate pairs (sigs CTE shared with
 # lsh_candidates) closed transitively with a recursive CTE, component =

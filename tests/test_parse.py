@@ -489,3 +489,28 @@ def test_datadog_search(spark):
     assert ids("_missing_:service") == {4}
     assert ids("status:*") == {1, 2, 3, 4}              # attr exists form
     assert ids('status:"error"') == {1, 4}
+
+
+def test_logplex_reference_sample(spark):
+    """The reference's own SAMPLE_BODY (heroku_logs.rs:342) plus the
+    warn-and-forward fallback for non-logplex lines."""
+    import pyspark.sql.functions as F
+
+    from vector_spark.functions.parse import parse_logplex
+
+    sample = (
+        "267 <158>1 2020-01-08T22:33:57.353034+00:00 host heroku router - "
+        'at=info method=GET path="/cart_link" status=304'
+    )
+    df = spark.createDataFrame([(sample,), ("three parts only",)], "line string")
+    p = parse_logplex(F.col("line"))
+    rows = {r["line"][:3]: r for r in df.select("line", *[v.alias(k) for k, v in p.items()]).collect()}
+    good = rows["267"]
+    assert good["host"] == "host"
+    assert good["app_name"] == "heroku"
+    assert good["proc_id"] == "router"
+    assert good["message"].startswith("at=info method=GET")
+    assert good["timestamp"] is not None
+    bad = rows["thr"]
+    assert bad["message"] == "three parts only"
+    assert bad["host"] is None and bad["timestamp"] is None

@@ -227,6 +227,24 @@ def parse_syslog(col: Column) -> dict[str, Column]:
     return out
 
 
+def parse_logplex(col: Column) -> dict[str, Column]:
+    """Heroku logplex drain line (src/sources/heroku_logs.rs:200-251):
+    `len <pri>ver timestamp hostname app_name proc_id msgid message`
+    via splitn(8, ' '); a line with fewer than 8 parts is forwarded raw
+    (message = whole line, other fields null) — warn-and-forward, not
+    an error, per the reference."""
+    parts = F.split(col, " ", 8)
+    ok = F.size(parts) == 8
+    ts = F.try_to_timestamp(F.get(parts, 2), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+    return {
+        "timestamp": F.when(ok, ts),
+        "host": F.when(ok, F.get(parts, 3)),
+        "app_name": F.when(ok, F.get(parts, 4)),
+        "proc_id": F.when(ok, F.get(parts, 5)),
+        "message": F.when(ok, F.get(parts, 7)).otherwise(col),
+    }
+
+
 CLOUDWATCH_SUBSCRIPTION_SCHEMA = (
     "messageType string, owner string, logGroup string, logStream string, "
     "subscriptionFilters array<string>, "
