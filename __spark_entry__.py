@@ -2200,6 +2200,141 @@ def q_logplex_parser(spark, sf):
     )
 
 
+# ---- journald JSON-export records (src/sources/journald.rs) ---------
+
+
+@_q(
+    "journald_parser",
+    """
+    SELECT event_id,
+           event_type || ' happened' AS message,
+           'h' || CAST(user_id % 4 AS VARCHAR) AS host,
+           epoch_us(ts) AS ts_us,
+           6 AS priority,
+           'app.service' AS unit
+    FROM events
+    """,
+)
+def q_journald_parser(spark, sf):
+    from vector_spark.functions.parse import parse_journald_record
+
+    ev = _t(spark, sf, "events")
+    uid = F.col("user_id")
+    rec = F.concat(
+        F.lit('{"MESSAGE":"'), F.col("event_type"), F.lit(' happened",'),
+        F.lit('"_HOSTNAME":"h'), (uid % 4).cast("string"), F.lit('",'),
+        F.lit('"_SOURCE_REALTIME_TIMESTAMP":"'),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+        F.lit('","PRIORITY":"6","_SYSTEMD_UNIT":"app.service"}'),
+    )
+    p = parse_journald_record(rec)
+    return ev.select(
+        "event_id",
+        p["message"].alias("message"),
+        p["host"].alias("host"),
+        F.unix_micros(p["timestamp"]).alias("ts_us"),
+        p["priority"].alias("priority"),
+        p["unit"].alias("unit"),
+    )
+
+
+# ---- datadog agent log payload (multi-event emission) ---------------
+# eid % 4 == 0 envelopes carry TWO LogMsgs — the explode fans out to
+# one event per entry (agent.rs:264-275), so rows_out > rows_in; the
+# oracle reproduces the second entries with a UNION ALL.
+
+
+@_q(
+    "datadog_agent_parser",
+    """
+    SELECT event_id, event_type || ' event' AS message, 'info' AS status,
+           epoch_ms(ts) AS ts_ms, 'h' || CAST(user_id % 4 AS VARCHAR) AS hostname,
+           'svc' AS service, 'env:prod,team:core' AS ddtags, 'prod' AS env_tag
+    FROM events
+    UNION ALL
+    SELECT event_id, 'second event', 'error', epoch_ms(ts),
+           'h' || CAST(user_id % 4 AS VARCHAR), 'svc', 'env:prod,team:core', 'prod'
+    FROM events WHERE event_id % 4 = 0
+    """,
+)
+def q_datadog_agent_parser(spark, sf):
+    from vector_spark.functions.parse import parse_datadog_agent_logs
+
+    ev = _t(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    entry = lambda msg, status: F.concat(  # noqa: E731
+        F.lit('{"message":"'), msg, F.lit('","status":"'), F.lit(status),
+        F.lit('","timestamp":'), (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long").cast("string"),
+        F.lit(',"hostname":"h'), (uid % 4).cast("string"),
+        F.lit('","service":"svc","ddsource":"agent","ddtags":"env:prod,team:core"}'),
+    )
+    one = F.concat(F.lit("["), entry(F.concat(F.col("event_type"), F.lit(" event")), "info"), F.lit("]"))
+    two = F.concat(
+        F.lit("["), entry(F.concat(F.col("event_type"), F.lit(" event")), "info"),
+        F.lit(","), entry(F.lit("second event"), "error"), F.lit("]"),
+    )
+    payload = F.element_at(F.array(one, two), ((eid % 4 == 0).cast("int") + 1))
+    parsed = ev.select(eid.alias("event_id"), F.explode(parse_datadog_agent_logs(payload)).alias("m"))
+    return parsed.select(
+        "event_id",
+        F.col("m.message").alias("message"),
+        F.col("m.status").alias("status"),
+        F.col("m.timestamp").alias("ts_ms"),
+        F.col("m.hostname").alias("hostname"),
+        F.col("m.service").alias("service"),
+        F.col("m.ddtags").alias("ddtags"),
+        F.element_at(F.str_to_map(F.col("m.ddtags"), F.lit(","), F.lit(":")), "env").alias("env_tag"),
+    )
+
+
+# ---- splunk HEC envelope with the time-magnitude heuristic ----------
+
+
+@_q(
+    "splunk_hec_parser",
+    """
+    SELECT event_id,
+           event_type || ' log line' AS event,
+           CAST(floor(epoch(ts)) AS BIGINT) * 1000000 AS ts_us,
+           'h' || CAST(user_id % 4 AS VARCHAR) AS host,
+           'main' AS splunk_index,
+           'udp:514' AS splunk_source
+    FROM events
+    """,
+)
+def q_splunk_hec_parser(spark, sf):
+    from vector_spark.functions.parse import parse_splunk_hec
+
+    ev = _t(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long")
+    # same instant in three magnitudes — the heuristic must land on the
+    # identical microsecond timestamp for all of them
+    t = F.element_at(
+        F.array(
+            sec.cast("string"),
+            (sec * 1000).cast("string"),
+            (sec * 1_000_000_000).cast("string"),
+        ),
+        (eid % 3 + 1).cast("int"),
+    )
+    envelope = F.concat(
+        F.lit('{"time":'), t,
+        F.lit(',"event":"'), F.col("event_type"), F.lit(' log line"'),
+        F.lit(',"host":"h'), (uid % 4).cast("string"),
+        F.lit('","index":"main","source":"udp:514","sourcetype":"syslog"}'),
+    )
+    p = parse_splunk_hec(envelope)
+    return ev.select(
+        "event_id",
+        p["event"].alias("event"),
+        F.unix_micros(p["timestamp"]).alias("ts_us"),
+        p["host"].alias("host"),
+        p["splunk_index"].alias("splunk_index"),
+        p["splunk_source"].alias("splunk_source"),
+    )
+
+
 # ---- dedup clustering: LSH pairs → connected components -------------
 # Oracle: the same LSH candidate pairs (sigs CTE shared with
 # lsh_candidates) closed transitively with a recursive CTE, component =

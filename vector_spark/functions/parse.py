@@ -245,6 +245,76 @@ def parse_logplex(col: Column) -> dict[str, Column]:
     }
 
 
+def parse_journald_record(col: Column) -> dict[str, Column]:
+    """journald JSON-export record (src/sources/journald.rs:436-460):
+    MESSAGE -> message, _HOSTNAME -> host, timestamp from
+    _SOURCE_REALTIME_TIMESTAMP (string micros) falling back to
+    __REALTIME_TIMESTAMP, source_type = 'journald'. The full record
+    rides along as `fields` (map) — journald field names are dynamic.
+    (Binary MESSAGE arrays — journald.rs:663 — are outside the
+    map<string,string> variant; a schema with binary needs from_json
+    with an explicit struct.)"""
+    m = F.from_json(col, "map<string,string>")
+    ts_us = F.coalesce(
+        F.element_at(m, "_SOURCE_REALTIME_TIMESTAMP"),
+        F.element_at(m, "__REALTIME_TIMESTAMP"),
+    ).try_cast("long")
+    return {
+        "message": F.element_at(m, "MESSAGE"),
+        "host": F.element_at(m, "_HOSTNAME"),
+        "timestamp": F.timestamp_micros(ts_us),
+        "priority": F.element_at(m, "PRIORITY").try_cast("int"),
+        "unit": F.element_at(m, "_SYSTEMD_UNIT"),
+        "source_type": F.lit("journald"),
+        "fields": m,
+    }
+
+
+DATADOG_AGENT_SCHEMA = (
+    "array<struct<message:string, status:string, timestamp:long, "
+    "hostname:string, service:string, ddsource:string, ddtags:string>>"
+)
+
+
+def parse_datadog_agent_logs(col: Column) -> Column:
+    """Datadog agent log payload (src/sources/datadog/agent.rs:349-357
+    LogMsg): a JSON array of log messages; callers `explode()` for the
+    one-event-per-entry emission (agent.rs:264-275). `ddtags` stays a
+    'k:v,k2:v2' string per the reference; split it with
+    `str_to_map(ddtags, ',', ':')` when map access is needed."""
+    return F.from_json(col, DATADOG_AGENT_SCHEMA)
+
+
+# Utc.ymd(10_000,1,1) in seconds / millis — splunk_hec.rs:535-556
+_SPLUNK_SEC_CUTOFF = 253402300800
+_SPLUNK_MS_CUTOFF = 253402300800000
+
+
+def parse_splunk_hec(col: Column) -> dict[str, Column]:
+    """Splunk HEC event envelope (src/sources/splunk_hec.rs): `event`
+    (string or object — returned as its raw JSON text), `time` with the
+    reference's magnitude heuristic (seconds < year-10000 < millis <
+    nanos, splunk_hec.rs:535-556; negative -> null), `host`, and the
+    index/source/sourcetype fields under their splunk_-prefixed names
+    (splunk_hec.rs:31-33)."""
+    t = F.get_json_object(col, "$.time").try_cast("long")
+    ts_us = (
+        F.when(t < 0, F.lit(None))
+        .when(t < _SPLUNK_SEC_CUTOFF, t * 1_000_000)
+        .when(t < _SPLUNK_MS_CUTOFF, t * 1_000)
+        .otherwise(F.floor(t / 1_000).cast("long"))
+    )
+    return {
+        "event": F.get_json_object(col, "$.event"),
+        "timestamp": F.timestamp_micros(ts_us),
+        "host": F.get_json_object(col, "$.host"),
+        "splunk_index": F.get_json_object(col, "$.index"),
+        "splunk_source": F.get_json_object(col, "$.source"),
+        "splunk_sourcetype": F.get_json_object(col, "$.sourcetype"),
+        "source_type": F.lit("splunk_hec"),
+    }
+
+
 CLOUDWATCH_SUBSCRIPTION_SCHEMA = (
     "messageType string, owner string, logGroup string, logStream string, "
     "subscriptionFilters array<string>, "
