@@ -78,6 +78,10 @@ HEADLINE = [
     "datadog_search",
     "statsd_parser",
     "prometheus_parser",
+    "logplex_parser",
+    "journald_parser",
+    "splunk_hec_parser",
+    "dedup_clusters",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))

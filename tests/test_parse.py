@@ -514,3 +514,52 @@ def test_logplex_reference_sample(spark):
     bad = rows["thr"]
     assert bad["message"] == "three parts only"
     assert bad["host"] is None and bad["timestamp"] is None
+
+
+def test_journald_reference_record(spark):
+    """journald.rs:661-664 FAKE_JOURNAL records: field remap + micros
+    timestamp + the received-timestamp fallback."""
+    import pyspark.sql.functions as F
+
+    from vector_spark.functions.parse import parse_journald_record
+
+    recs = [
+        '{"_SYSTEMD_UNIT":"sysinit.target","MESSAGE":"System Initialization",'
+        '"__CURSOR":"1","_SOURCE_REALTIME_TIMESTAMP":"1578529839140001","PRIORITY":"6"}',
+        '{"_SYSTEMD_UNIT":"stdout","MESSAGE":"Missing timestamp","__CURSOR":"3",'
+        '"__REALTIME_TIMESTAMP":"1578529839140004","PRIORITY":"2"}',
+    ]
+    df = spark.createDataFrame([(r,) for r in recs], "rec string")
+    p = parse_journald_record(F.col("rec"))
+    rows = df.select(
+        *[v.alias(k) for k, v in p.items() if k != "fields"],
+        F.unix_micros(p["timestamp"]).alias("us"),
+    ).collect()
+    assert rows[0]["message"] == "System Initialization"
+    assert rows[0]["unit"] == "sysinit.target"
+    assert rows[0]["priority"] == 6
+    assert rows[0]["us"] == 1578529839140001
+    # fallback to __REALTIME_TIMESTAMP when source timestamp is absent
+    assert rows[1]["us"] == 1578529839140004
+    assert rows[1]["source_type"] == "journald"
+
+
+def test_splunk_hec_time_magnitudes(spark):
+    """splunk_hec.rs:535-556: seconds / millis / nanos land on the same
+    instant; negative time -> null."""
+    import pyspark.sql.functions as F
+
+    from vector_spark.functions.parse import parse_splunk_hec
+
+    base = 1577836800
+    envs = [
+        f'{{"time":{base},"event":"a"}}',
+        f'{{"time":{base * 1000},"event":"b"}}',
+        f'{{"time":{base * 1_000_000_000},"event":"c"}}',
+        '{"time":-5,"event":"d"}',
+    ]
+    df = spark.createDataFrame([(e,) for e in envs], "env string")
+    p = parse_splunk_hec(F.col("env"))
+    us = [r[0] for r in df.select(F.unix_micros(p["timestamp"])).collect()]
+    assert us[0] == us[1] == us[2] == base * 1_000_000
+    assert us[3] is None
