@@ -254,3 +254,19 @@ def test_metric_to_log_registry_type(spark):
     out = C.TRANSFORMS["metric_to_log"](df, {}).collect()
     assert len(out) == 1 and '"name":"req"' in out[0]["message"]
     assert out[0]["host"] == "h1"
+
+
+def test_statsd_registry_type(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    import vector_spark.plans.config as C
+
+    df = spark.createDataFrame(
+        [("api.latency:320|ms|@0.5|#env:prod",), ("bad",)], "message string"
+    )
+    out = {r["message"][:3]: r for r in C.TRANSFORMS["statsd_parser"](df, {}).collect()}
+    good = out["api"]
+    assert good["name"] == "api.latency"
+    assert good["value"] == 0.32 and good["sample_rate"] == 2.0
+    assert good["tags_s"] == "env:prod"
+    assert out["bad"]["error"] is not None

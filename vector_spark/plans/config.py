@@ -444,6 +444,29 @@ def _t_geoip(df, cfg):
     )
 
 
+def _t_statsd_parser(df, cfg):
+    """statsd/dogstatsd datagram codec over `field` (source codec
+    surfaced as a transform for TOML topologies)."""
+    from vector_spark.functions.metrics_codec import parse_statsd
+
+    p = parse_statsd(F.col(cfg.get("field", "message")))
+    out = df
+    for k in cfg.get("outputs", ["name", "mtype", "kind", "value", "sample_rate", "tags_s", "error"]):
+        out = out.withColumn(k, p[k])
+    return out
+
+
+def _t_prometheus_parser(df, cfg):
+    """Prometheus exposition-line codec over `field`."""
+    from vector_spark.functions.metrics_codec import parse_prometheus
+
+    p = parse_prometheus(F.col(cfg.get("field", "message")))
+    out = df
+    for k in cfg.get("outputs", ["name", "labels_s", "value", "timestamp_ms", "error"]):
+        out = out.withColumn(k, p[k])
+    return out
+
+
 def _t_aws_ec2_metadata(df, cfg):
     """Inline `metadata` map plays the IMDS fetch in configs (the real
     fetcher is injectable on the Ec2Metadata class)."""
@@ -489,6 +512,8 @@ TRANSFORMS = {
     "metric_to_log": _t_metric_to_log,
     "csv_parser": _t_csv_parser,
     "geoip": _t_geoip,
+    "statsd_parser": _t_statsd_parser,
+    "prometheus_parser": _t_prometheus_parser,
 }
 
 
