@@ -2155,6 +2155,38 @@ def q_datadog_search(spark, sf):
     )
 
 
+# ---- reduce with ends_when boundaries (reduce/mod.rs:221-257) -------
+# `event_id` is the order column (unique — `ts` alone could tie and
+# make segment boundaries engine-dependent).
+
+
+@_q(
+    "reduce_bounded",
+    """
+    WITH seg AS (
+      SELECT user_id, value,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS segment
+      FROM events)
+    SELECT user_id, segment, round(sum(value), 4) AS total, count(*) AS n_events
+    FROM seg GROUP BY user_id, segment
+    """,
+)
+def q_reduce_bounded(spark, sf):
+    from vector_spark.operators.reduce import BoundedReduce
+
+    ev = _t(spark, sf, "events")
+    out = BoundedReduce(
+        ["user_id"], {"value": "sum"}, order_by="event_id",
+        ends_when="event_type = 'purchase'",
+    ).apply(ev)
+    return out.select(
+        "user_id", "segment", F.round("value", 4).alias("total"), "n_events"
+    )
+
+
 # ---- heroku logplex drain lines (src/sources/heroku_logs.rs) --------
 
 

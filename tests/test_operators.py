@@ -340,3 +340,37 @@ def test_ec2_metadata_operator(spark):
 
     with pytest.raises(RuntimeError):
         Ec2Metadata().apply(df)  # no IMDS in sandbox → explicit error
+
+
+def test_bounded_reduce_starts_and_ends_when(spark):
+    """reduce/mod.rs:221-257 boundary semantics: ends_when merges the
+    closer into the current collapse; starts_when opens a new collapse
+    AT the starter."""
+    import pyspark.sql.functions as F
+
+    from vector_spark.operators.reduce import BoundedReduce
+
+    rows = [
+        ("a", 1, "start", 10), ("a", 2, "mid", 20), ("a", 3, "end", 30),
+        ("a", 4, "start", 40), ("a", 5, "end", 50),
+        ("b", 6, "mid", 60),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts long, kind string, v long")
+
+    ended = BoundedReduce(
+        ["g"], {"v": "sum", "kind": "concat"}, order_by="ts",
+        ends_when="kind = 'end'",
+    ).apply(df)
+    got = {(r["g"], r["segment"]): (r["v"], r["kind"], r["n_events"]) for r in ended.collect()}
+    assert got[("a", 0)] == (60, "start mid end", 3)   # closer merged in
+    assert got[("a", 1)] == (90, "start end", 2)
+    assert got[("b", 0)] == (60, "mid", 1)
+
+    started = BoundedReduce(
+        ["g"], {"v": "sum"}, order_by="ts", starts_when="kind = 'start'",
+    ).apply(df)
+    got = {(r["g"], r["segment"]): (r["v"], r["n_events"]) for r in started.collect()}
+    # first 'start' opens segment 1 immediately: a -> [start,mid,end] [start,end]
+    assert got[("a", 1)] == (60, 3)
+    assert got[("a", 2)] == (90, 2)
+    assert got[("b", 0)] == (60, 1)

@@ -75,3 +75,58 @@ class Reduce(Transform):
         aggs = [strategy_agg(s, f, self.order_by) for f, s in self.merge_strategies.items()]
         aggs.append(F.count(F.lit(1)).alias(self.count_alias))
         return df.groupBy(*self.group_by).agg(*aggs)
+
+
+class BoundedReduce(Transform):
+    """`reduce` with `starts_when`/`ends_when` condition boundaries
+    (reduce/mod.rs:221-257): within each group (ordered by `order_by`),
+    an event matching `ends_when` CLOSES the current collapse (it is
+    merged in, the next event opens a new one); an event matching
+    `starts_when` OPENS a new collapse (it is the new first event).
+
+    Plan shape: one window pass computes a cumulative boundary count as
+    the segment id — `sum(flag) over (partition by keys order by ts)`
+    with the frame ending at the PREVIOUS row for ends_when (inclusive
+    close) and at the CURRENT row for starts_when (inclusive open) —
+    then the ordinary strategy aggregation groups on (keys, segment).
+    The window partitions by the reduce keys, so parallelism is the key
+    cardinality (same skew profile as the aggregation itself; no global
+    single-partition ordering)."""
+
+    def __init__(
+        self,
+        group_by: list[str],
+        merge_strategies: dict[str, str],
+        order_by: str = "ts",
+        starts_when: Column | str | None = None,
+        ends_when: Column | str | None = None,
+        count_alias: str = "n_events",
+        segment_alias: str = "segment",
+    ):
+        if (starts_when is None) == (ends_when is None):
+            raise ValueError("exactly one of starts_when / ends_when required")
+        self.group_by = group_by
+        self.merge_strategies = merge_strategies
+        self.order_by = order_by
+        self.starts_when = F.expr(starts_when) if isinstance(starts_when, str) else starts_when
+        self.ends_when = F.expr(ends_when) if isinstance(ends_when, str) else ends_when
+        self.count_alias = count_alias
+        self.segment_alias = segment_alias
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        base = W.partitionBy(*self.group_by).orderBy(self.order_by)
+        if self.ends_when is not None:
+            flag = self.ends_when.cast("int")
+            # boundary counted from the row AFTER the closer
+            w = base.rowsBetween(W.unboundedPreceding, -1)
+        else:
+            flag = self.starts_when.cast("int")
+            # the starter itself already belongs to the new segment
+            w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        seg = F.coalesce(F.sum(flag).over(w), F.lit(0))
+        staged = df.withColumn(self.segment_alias, seg)
+        aggs = [strategy_agg(s, f, self.order_by) for f, s in self.merge_strategies.items()]
+        aggs.append(F.count(F.lit(1)).alias(self.count_alias))
+        return staged.groupBy(*self.group_by, self.segment_alias).agg(*aggs)

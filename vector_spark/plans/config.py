@@ -316,8 +316,16 @@ def _t_merge(df, cfg):
 
 
 def _t_reduce(df, cfg):
-    from vector_spark.operators.reduce import Reduce
+    from vector_spark.operators.reduce import BoundedReduce, Reduce
 
+    if cfg.get("starts_when") or cfg.get("ends_when"):
+        return BoundedReduce(
+            cfg["group_by"],
+            cfg.get("merge_strategies", {}),
+            order_by=cfg.get("order_by", "ts"),
+            starts_when=cfg.get("starts_when"),
+            ends_when=cfg.get("ends_when"),
+        ).apply(df)
     return Reduce(
         cfg["group_by"],
         cfg.get("merge_strategies", {}),
