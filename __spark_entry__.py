@@ -2187,6 +2187,44 @@ def q_reduce_bounded(spark, sf):
     )
 
 
+# ---- RFC 5424 structured-data extraction ----------------------------
+
+
+@_q(
+    "syslog_sd_parser",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                ELSE 'meta@123.seq=' || CAST(event_id AS VARCHAR)
+                     || ',meta@123.type=' || event_type
+                     || ',origin.host=h' || CAST(user_id % 4 AS VARCHAR)
+           END AS sd_s,
+           CASE WHEN event_id % 5 = 0 THEN 0 ELSE 2 END AS n_elements
+    FROM events
+    """,
+)
+def q_syslog_sd_parser(spark, sf):
+    from vector_spark.functions.parse import parse_syslog_structured_data
+
+    ev = _t(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    with_sd = F.concat(
+        F.lit("<13>1 2026-08-17T00:00:00Z host app 1 ID1 "),
+        F.lit('[meta@123 seq="'), eid.cast("string"),
+        F.lit('" type="'), F.col("event_type"),
+        F.lit('"][origin host="h'), (uid % 4).cast("string"),
+        F.lit('"] the message body'),
+    )
+    without = F.lit("<13>1 2026-08-17T00:00:00Z host app 1 ID1 - plain message")
+    line = F.element_at(F.array(with_sd, without), ((eid % 5 == 0).cast("int") + 1))
+    p = parse_syslog_structured_data(line)
+    return ev.select(
+        eid.alias("event_id"),
+        p["sd_s"].alias("sd_s"),
+        p["n_elements"].alias("n_elements"),
+    )
+
+
 # ---- heroku logplex drain lines (src/sources/heroku_logs.rs) --------
 
 

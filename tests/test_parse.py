@@ -563,3 +563,34 @@ def test_splunk_hec_time_magnitudes(spark):
     us = [r[0] for r in df.select(F.unix_micros(p["timestamp"])).collect()]
     assert us[0] == us[1] == us[2] == base * 1_000_000
     assert us[3] is None
+
+
+def test_syslog_structured_data_reference_example(spark):
+    """parse_syslog.rs:26-31: SD params flatten to '<id>.<param>',
+    tolerating spaces around '='; multiple elements; '-' (no SD) ->
+    null map."""
+    import pyspark.sql.functions as F
+
+    from vector_spark.functions.parse import parse_syslog_structured_data
+
+    ref = (
+        "<13>1 2020-03-13T20:45:38.119Z dynamicwireless.name non 2426 ID931 "
+        '[exampleSDID@32473 iut="3" eventSource= "Application" eventID="1011"] '
+        "Try to override the THX port!"
+    )
+    multi = (
+        '<13>1 2020-03-13T20:45:38.119Z host app 1 ID1 [a x="1"][b@2 y="2"] msg'
+    )
+    plain = "<13>1 2020-03-13T20:45:38.119Z host app 1 ID1 - msg [not sd]"
+    df = spark.createDataFrame([(ref,), (multi,), (plain,)], "line string")
+    p = parse_syslog_structured_data(F.col("line"))
+    rows = df.select(*[v.alias(k) for k, v in p.items()]).collect()
+    assert rows[0]["sd"] == {
+        "exampleSDID@32473.iut": "3",
+        "exampleSDID@32473.eventSource": "Application",
+        "exampleSDID@32473.eventID": "1011",
+    }
+    assert rows[1]["sd_s"] == "a.x=1,b@2.y=2"
+    assert rows[1]["n_elements"] == 2
+    # '-' line: the trailing bracketed text in the MESSAGE must not parse
+    assert rows[2]["sd"] is None and rows[2]["n_elements"] == 0

@@ -227,6 +227,49 @@ def parse_syslog(col: Column) -> dict[str, Column]:
     return out
 
 
+_SD_REGION_RX = r"^<\d+>\d+ \S+ \S+ \S+ \S+ \S+ ((?:\[[^\]]*\])+)"
+_SD_PARAM_RX = r'([\w@.\-]+)\s*=\s*"([^"]*)"'
+
+
+def parse_syslog_structured_data(col: Column) -> dict[str, Column]:
+    """RFC 5424 structured-data elements flattened to '<id>.<param>'
+    keys, the shape VRL parse_syslog emits (parse_syslog.rs:136-145,
+    examples :26-31 — note the reference corpus includes `eventSource=
+    "Application"` with a space around '=', which the param regex
+    tolerates). Returns the map plus a sorted 'k=v,...' serialization.
+    Escaped quotes inside param values (\\") are out of scope for the
+    regex form (the VRL parser handles them; our log corpus does not
+    produce them)."""
+    region = F.regexp_extract(col, _SD_REGION_RX, 1)
+    elements = F.regexp_extract_all(region, F.lit(r"\[([^\]]*)\]"), 1)
+    entries = F.flatten(
+        F.transform(
+            elements,
+            lambda el: F.zip_with(
+                F.regexp_extract_all(el, F.lit(_SD_PARAM_RX), 1),
+                F.regexp_extract_all(el, F.lit(_SD_PARAM_RX), 2),
+                lambda k, v: F.struct(
+                    F.concat(F.regexp_extract(el, r"^([^ ]+)", 1), F.lit("."), k).alias("key"),
+                    v.alias("value"),
+                ),
+            ),
+        )
+    )
+    sd_map = F.map_from_entries(entries)
+    sd_s = F.concat_ws(
+        ",",
+        F.array_sort(
+            F.transform(entries, lambda e: F.concat_ws("=", e["key"], e["value"]))
+        ),
+    )
+    has_sd = F.size(entries) > 0
+    return {
+        "sd": F.when(has_sd, sd_map),
+        "sd_s": F.when(has_sd, sd_s),
+        "n_elements": F.size(elements),
+    }
+
+
 def parse_logplex(col: Column) -> dict[str, Column]:
     """Heroku logplex drain line (src/sources/heroku_logs.rs:200-251):
     `len <pri>ver timestamp hostname app_name proc_id msgid message`
