@@ -75,6 +75,16 @@ def is_null(col: Column) -> Column:
     return typeof_value(col) == "null"
 
 
+def is_timestamp_type(df: DataFrame, name: str) -> bool:
+    """VRL is_timestamp: Value::Timestamp is a runtime kind; in the
+    typed-column world a column either IS TimestampType or is not, so
+    the check collapses to a plan-time schema test (lib/vrl/stdlib/src/
+    is_timestamp.rs). The JSON variant has no timestamp kind (JSON has
+    no timestamp literal), so there is no row-wise form."""
+    f = {fld.name: fld.dataType.simpleString() for fld in df.schema.fields}.get(name)
+    return f in ("timestamp", "timestamp_ntz")
+
+
 def _tag_value(v):
     # tag_types_externally.rs:93-119: scalars -> {"<type>": v}; objects
     # recurse per entry; arrays recurse per element; null stays null.
