@@ -2225,6 +2225,41 @@ def q_syslog_sd_parser(spark, sf):
     )
 
 
+# ---- octet-counting framing (src/codecs/framers/octet_counting.rs) --
+# A chunk carrying 2-3 length-prefixed frames explodes to one row per
+# frame; the oracle emits the ground-truth frames directly.
+
+
+@_q(
+    "octet_framing",
+    """
+    SELECT event_id, 0 AS frame_idx, event_type AS frame FROM events
+    UNION ALL
+    SELECT event_id, 1, 'uid=' || CAST(user_id AS VARCHAR) FROM events
+    UNION ALL
+    SELECT event_id, 2, 'extra frame' FROM events WHERE event_id % 3 = 0
+    """,
+)
+def q_octet_framing(spark, sf):
+    from vector_spark.functions.framing import octet_counting_frames
+
+    ev = _t(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    f1 = F.col("event_type")
+    f2 = F.concat(F.lit("uid="), uid.cast("string"))
+    frame = lambda p: F.concat(F.length(p).cast("string"), F.lit(" "), p)  # noqa: E731
+    base = F.concat(frame(f1), frame(f2))
+    chunk = F.element_at(
+        F.array(base, F.concat(base, frame(F.lit("extra frame")))),
+        ((eid % 3 == 0).cast("int") + 1),
+    )
+    frames = ev.select(
+        eid.alias("event_id"),
+        F.posexplode(octet_counting_frames(chunk)).alias("frame_idx", "frame"),
+    )
+    return frames
+
+
 # ---- heroku logplex drain lines (src/sources/heroku_logs.rs) --------
 
 

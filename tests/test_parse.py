@@ -594,3 +594,35 @@ def test_syslog_structured_data_reference_example(spark):
     assert rows[1]["n_elements"] == 2
     # '-' line: the trailing bracketed text in the MESSAGE must not parse
     assert rows[2]["sd"] is None and rows[2]["n_elements"] == 0
+
+
+def test_framing_codecs(spark):
+    """framers/*.rs: character/newline-delimited splits and the
+    octet-counting unframe incl. malformed-chunk rejection."""
+    import pyspark.sql.functions as F
+
+    from vector_spark.functions.framing import (
+        character_delimited_frames,
+        newline_delimited_frames,
+        octet_counting_frames,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("5 hello6 world!",),        # two clean frames
+            ("3 abc",),                   # single frame
+            ("abc def",),                 # no integer prefix
+            ("10 short",),                # truncated payload
+            ("",),                        # empty chunk -> zero frames
+        ],
+        "chunk string",
+    )
+    got = [r[0] for r in df.select(octet_counting_frames(F.col("chunk"))).collect()]
+    assert got[0] == ["hello", "world!"]
+    assert got[1] == ["abc"]
+    assert got[2] is None and got[3] is None
+    assert got[4] == []
+
+    d2 = spark.createDataFrame([("a|b|c\nd",)], "s string")
+    assert d2.select(character_delimited_frames(F.col("s"), "|")).first()[0] == ["a", "b", "c\nd"]
+    assert d2.select(newline_delimited_frames(F.col("s"))).first()[0] == ["a|b|c", "d"]

@@ -362,3 +362,16 @@ def test_ivf_lloyd_refinement(spark):
         for r in ivf_topk(q, cand, k=5, n_cells=8, nprobe=8, refine_iters=2).collect()
     }
     assert got == exact
+
+
+def test_connected_components_plan_no_cartesian(spark):
+    """Every join in the star rounds is an equi-join on node ids — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    from vector_spark.training.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30, 2)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs, "id_a", "id_b")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
