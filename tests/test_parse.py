@@ -626,3 +626,17 @@ def test_framing_codecs(spark):
     d2 = spark.createDataFrame([("a|b|c\nd",)], "s string")
     assert d2.select(character_delimited_frames(F.col("s"), "|")).first()[0] == ["a", "b", "c\nd"]
     assert d2.select(newline_delimited_frames(F.col("s"))).first()[0] == ["a|b|c", "d"]
+
+
+def test_length_delimited_framing(spark):
+    import pyspark.sql.functions as F
+
+    from vector_spark.functions.framing import length_delimited_frames
+
+    chunk = (3).to_bytes(4, "big") + b"abc" + (2).to_bytes(4, "big") + b"xy"
+    trunc = (9).to_bytes(4, "big") + b"abc"
+    df = spark.createDataFrame([(chunk,), (trunc,), (b"",)], "c binary")
+    got = [r[0] for r in df.select(length_delimited_frames(F.col("c"))).collect()]
+    assert [bytes(b) for b in got[0]] == [b"abc", b"xy"]
+    assert got[1] is None
+    assert got[2] == []

@@ -39,6 +39,36 @@ def newline_delimited_frames(col: Column) -> Column:
     return F.split(col, r"\r?\n", -1)
 
 
+def length_delimited_frames(col: Column) -> Column:
+    """`length_delimited` framer: 4-byte big-endian length prefix over
+    a BINARY chunk (framers/length_delimited.rs / tokio
+    LengthDelimitedCodec defaults). Returns array<binary>; NULL on a
+    truncated frame."""
+
+    @F.pandas_udf("array<binary>")
+    def _unframe(s: "pd.Series") -> "pd.Series":
+        def go(chunk):
+            if chunk is None:
+                return None
+            frames = []
+            data = bytes(chunk)
+            pos = 0
+            while pos < len(data):
+                if pos + 4 > len(data):
+                    return None
+                n = int.from_bytes(data[pos : pos + 4], "big")
+                pos += 4
+                if pos + n > len(data):
+                    return None
+                frames.append(data[pos : pos + n])
+                pos += n
+            return frames
+
+        return s.map(go)
+
+    return _unframe(col)
+
+
 def octet_counting_frames(col: Column) -> Column:
     """`octet_counting` framer: `<len> <payload>` repeated, len = byte
     length of the payload (framers/octet_counting.rs). Returns
