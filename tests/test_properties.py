@@ -235,3 +235,134 @@ def test_single_pass_extraction_matches_python_re(spark):
             assert r["n"] == int(m.group(2)), r["l"]
             exp_t = m.group(3) if m.group(3) != "" else None
             assert r["t"] == exp_t, r["l"]
+
+
+def test_statsd_matches_python_reference(spark):
+    """Random datagram battery vs a Python port of parser.rs:16-185
+    (same math, same ''-capture→NULL normalization as the Spark side)."""
+    import random
+    import re
+
+    import pyspark.sql.functions as F
+
+    from vector_spark.functions.metrics_codec import parse_statsd
+
+    rng = random.Random(11)
+
+    def py_ref(line):
+        m = re.match(
+            r"^([^:]*):([^|]*)\|([^|]*)(?:\|(@[^|]*))?(?:\|(#[^|]*))?(?:\|.*)?$",
+            line,
+        )
+        none = dict(name=None, mtype=None, kind=None, value=None,
+                    sample_rate=None, statistic=None, set_value=None, tags_s=None)
+        if not m:
+            return {**none, "error": "malformed packet"}
+        key, value_str, mtype, rate_s, tags_s_raw = (
+            g if g != "" else None for g in m.groups()
+        )
+        mtype_raw = m.group(3)
+        if mtype_raw == "" or mtype_raw not in ("c", "g", "ms", "h", "d", "s"):
+            return {**none, "error": "unknown metric type" if mtype_raw else "malformed packet"}
+        raw_rate = None
+        if rate_s is not None:
+            try:
+                raw_rate = float(rate_s[1:])
+            except ValueError:
+                raw_rate = None
+            if raw_rate is not None and raw_rate < 0:
+                return {**none, "error": "negative sample rate"}
+        rate_mult = 1.0 if rate_s is None else (
+            1.0 / (1.0 if (raw_rate == 0.0) else raw_rate) if raw_rate is not None else None
+        )
+        try:
+            v = float(value_str) if value_str is not None else None
+        except ValueError:
+            v = None
+        first = (value_str or "")[:1]
+        g_signed, g_digit = first in "+-", first.isdigit()
+        if mtype_raw in ("c", "ms", "h", "d") and v is None:
+            return {**none, "error": "bad value"}
+        if mtype_raw == "g":
+            if not (g_signed or g_digit):
+                return {**none, "error": "invalid gauge value prefix"}
+            if v is None:
+                return {**none, "error": "bad value"}
+        name = re.sub(r"[^a-zA-Z_\-0-9.]", "", re.sub(r"\s+", "_", (key or "").replace("/", "-")))
+        # unparseable @rate -> null multiplier (no error), like the
+        # Spark try_cast chain
+        value = {
+            "c": (v * rate_mult) if v is not None and rate_mult is not None else None,
+            "ms": v / 1000.0 if v is not None else None,
+        }.get(mtype_raw, v if mtype_raw in ("h", "d", "g") else None)
+        tags_s = None
+        if tags_s_raw is not None:
+            chunks = tags_s_raw[1:].split(",")
+            tags_s = ",".join(c if ":" in c else c + ":true" for c in chunks)
+        return {
+            "name": name or None,
+            "mtype": mtype_raw,
+            "kind": "absolute" if (mtype_raw == "g" and g_digit) else "incremental",
+            "value": value,
+            "sample_rate": rate_mult,
+            "statistic": {"ms": "histogram", "h": "histogram", "d": "summary"}.get(mtype_raw),
+            "set_value": value_str if mtype_raw == "s" else None,
+            "tags_s": tags_s or None,
+            "error": None,
+        }
+
+    lines = []
+    keys = ["api.lat", "a/b c", "x$!y", "", "plain"]
+    for _ in range(250):
+        key = rng.choice(keys)
+        mtype = rng.choice(["c", "g", "ms", "h", "d", "s", "x", ""])
+        val = rng.choice(["12", "-3.5", "+7", "0.25", "abc", "", "*9"])
+        parts = [f"{key}:{val}", mtype]
+        if rng.random() < 0.5:
+            parts.append("@" + rng.choice(["0.5", "0", "-1", "2", "junk"]))
+        if rng.random() < 0.5:
+            parts.append("#" + rng.choice(["a:1,b", "env:prod", "only"]))
+        if rng.random() < 0.2:
+            parts.append("ignored")
+        lines.append("|".join(parts))
+    lines += ["nocolon", "k:v", "k:1|c|x|#t"]
+
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    p = parse_statsd(F.col("line"))
+    cols = ["name", "mtype", "kind", "value", "sample_rate", "statistic", "set_value", "tags_s", "error"]
+    rows = df.select("line", *[p[k].alias(k) for k in cols]).collect()
+    for r in rows:
+        want = py_ref(r["line"])
+        got = {k: r[k] for k in cols}
+        for k in cols:
+            w, g = want[k], got[k]
+            if isinstance(w, float) and g is not None:
+                assert abs(w - g) < 1e-9, (r["line"], k, w, g)
+            elif k == "error":
+                assert (w is None) == (g is None), (r["line"], w, g)
+            else:
+                assert w == g, (r["line"], k, w, g)
+
+
+def test_octet_framing_roundtrip(spark):
+    """Random frame lists render → unframe → identity; corrupted
+    prefixes reject the chunk."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from vector_spark.functions.framing import octet_counting_frames
+
+    rng = random.Random(5)
+    cases = []
+    for _ in range(100):
+        frames = [
+            "".join(rng.choice("abc |<>:0123") for _ in range(rng.randrange(0, 12)))
+            for _ in range(rng.randrange(1, 5))
+        ]
+        chunk = "".join(f"{len(f.encode())} {f}" for f in frames)
+        cases.append((chunk, frames))
+    df = spark.createDataFrame([(c,) for c, _ in cases], "c string")
+    got = [r[0] for r in df.select(octet_counting_frames(F.col("c"))).collect()]
+    for (chunk, want), g in zip(cases, got):
+        assert g == want, (chunk, want, g)
