@@ -374,3 +374,23 @@ def test_bounded_reduce_starts_and_ends_when(spark):
     assert got[("a", 1)] == (60, 3)
     assert got[("a", 2)] == (90, 2)
     assert got[("b", 0)] == (60, 1)
+
+
+def test_bounded_reduce_edge_shapes(spark):
+    """All rows are closers (every event its own segment); no rows
+    match (single segment per key)."""
+    from vector_spark.operators.reduce import BoundedReduce
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30)], "g string, ts long, v long"
+    )
+    all_end = BoundedReduce(["g"], {"v": "sum"}, order_by="ts", ends_when="true").apply(df)
+    assert sorted((r["segment"], r["v"]) for r in all_end.collect()) == [(0, 10), (1, 20), (2, 30)]
+
+    none_end = BoundedReduce(["g"], {"v": "sum"}, order_by="ts", ends_when="false").apply(df)
+    assert [(r["segment"], r["v"], r["n_events"]) for r in none_end.collect()] == [(0, 60, 3)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        BoundedReduce(["g"], {}, starts_when="true", ends_when="true")

@@ -375,3 +375,18 @@ def test_connected_components_plan_no_cartesian(spark):
     out = connected_components(pairs, "id_a", "id_b")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_connected_components_edges(spark):
+    """Degenerate inputs: empty pair set; self-loops only; one pair."""
+    from vector_spark.training.components import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+
+    selfs = spark.createDataFrame([(1, 1), (2, 2)], "id_a long, id_b long")
+    assert connected_components(selfs).count() == 0  # loops filtered
+
+    one = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(one).collect()}
+    assert got == {3: 3, 7: 3}
