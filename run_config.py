@@ -30,7 +30,25 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="run the config's [[tests]] blocks (the `vector test` subcommand)",
     )
+    ap.add_argument(
+        "--graph",
+        action="store_true",
+        help="print the topology as Graphviz DOT (the `vector graph` subcommand)",
+    )
+    ap.add_argument(
+        "--validate",
+        action="store_true",
+        help="compile-only check, no execution (the `vector validate` subcommand)",
+    )
     args = ap.parse_args(argv)
+
+    if args.graph:
+        # no Spark session needed — pure config rendering
+        from vector_spark.plans.config import topology_dot
+
+        with open(args.config) as f:
+            print(topology_dot(f.read()), end="")
+        return 0
 
     from vector_spark.plans.config import compile_config
     from vector_spark.session import get_spark
@@ -55,6 +73,19 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"tests": len(results), "failed": n_bad}))
         spark.stop()
         return 1 if n_bad else 0
+
+    if args.validate:
+        from vector_spark.plans.config import ConfigError
+
+        try:
+            compile_config(spark, toml_text)
+        except ConfigError as e:
+            print(f"invalid: {e}")
+            spark.stop()
+            return 1
+        print("ok")
+        spark.stop()
+        return 0
 
     t0 = time.time()
     topo = compile_config(spark, toml_text)

@@ -270,3 +270,20 @@ def test_statsd_registry_type(spark):
     assert good["value"] == 0.32 and good["sample_rate"] == 2.0
     assert good["tags_s"] == "env:prod"
     assert out["bad"]["error"] is not None
+
+
+def test_topology_dot():
+    """`vector graph` DOT rendering (src/graph.rs:82-118 shapes)."""
+    from vector_spark.plans.config import topology_dot
+
+    dot = topology_dot(
+        {
+            "sources": {"s": {"type": "parquet"}},
+            "transforms": {"t": {"type": "filter", "inputs": ["s"]}},
+            "sinks": {"o": {"type": "memory", "inputs": ["t"]}},
+        }
+    )
+    assert '"s" [shape=trapezium]' in dot
+    assert '"t" [shape=diamond]' in dot
+    assert '"o" [shape=invtrapezium]' in dot
+    assert '"s" -> "t"' in dot and '"t" -> "o"' in dot

@@ -753,3 +753,28 @@ def compile_config(
     return CompiledTopology(
         sinks=sink_dfs, sink_configs=dict(sinks), outputs=built, persisted=persisted
     )
+
+
+def topology_dot(config) -> str:
+    """`vector graph` analogue (src/graph.rs:82-118): render the
+    component topology as Graphviz DOT — sources as trapeziums,
+    transforms as diamonds, sinks as inverted trapeziums, exactly the
+    reference's shapes. Renders the config as written (pre macro
+    expansion), like the reference renders loaded components."""
+    if isinstance(config, str):
+        import tomllib
+
+        config = tomllib.loads(interpolate_env(config))
+    out = ["digraph {"]
+    for sid in config.get("sources", {}):
+        out.append(f'  "{sid}" [shape=trapezium]')
+    for tid, t in config.get("transforms", {}).items():
+        out.append(f'  "{tid}" [shape=diamond]')
+        for i in t.get("inputs", []):
+            out.append(f'  "{i}" -> "{tid}"')
+    for sid, sk in config.get("sinks", {}).items():
+        out.append(f'  "{sid}" [shape=invtrapezium]')
+        for i in sk.get("inputs", []):
+            out.append(f'  "{i}" -> "{sid}"')
+    out.append("}")
+    return "\n".join(out) + "\n"
