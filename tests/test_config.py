@@ -287,3 +287,41 @@ def test_topology_dot():
     assert '"t" [shape=diamond]' in dot
     assert '"o" [shape=invtrapezium]' in dot
     assert '"s" -> "t"' in dot and '"t" -> "o"' in dot
+
+
+def test_streaming_topology(spark, tmp_path):
+    """stream_parquet source → filter → checkpointed parquet sink via
+    the TOML front-end: incremental availableNow runs process each file
+    once; a memory sink on the same stream collects the filtered rows."""
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    spark.createDataFrame(
+        [(1, "keep"), (2, "drop")], "id int, kind string"
+    ).coalesce(1).write.parquet(src + "/p1")
+
+    toml = f"""
+[sources.stream]
+type = "stream_parquet"
+path = "{src}/p*"
+schema = "id int, kind string"
+
+[transforms.kept]
+type = "filter"
+inputs = ["stream"]
+condition = "kind = 'keep'"
+
+[sinks.out]
+type = "parquet"
+inputs = ["kept"]
+path = "{out}"
+checkpoint = "{ck}"
+"""
+    topo = compile_config(spark, toml)
+    assert topo.run()["out"] == "written"
+    assert [r["id"] for r in spark.read.parquet(out).collect()] == [1]
+
+    # second incremental batch only processes the new file
+    spark.createDataFrame(
+        [(3, "keep")], "id int, kind string"
+    ).coalesce(1).write.parquet(src + "/p2")
+    compile_config(spark, toml).run()
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [1, 3]

@@ -45,7 +45,20 @@ def _src_generator(spark, cfg):
     return sequences(spark, int(cfg.get("count", 1000)), seed=int(cfg.get("seed", 42)))
 
 
-SOURCES = {"parquet": _src_parquet, "generator": _src_generator}
+def _src_stream_parquet(spark, cfg):
+    """Streaming file source (the `file`/`kafka` plan position:
+    readStream over a growing directory; file streams require a
+    declared schema). Downstream narrow transforms work unchanged;
+    sinks run as checkpointed availableNow micro-batches
+    (streaming/sink.py)."""
+    return spark.readStream.schema(cfg["schema"]).parquet(cfg["path"])
+
+
+SOURCES = {
+    "parquet": _src_parquet,
+    "generator": _src_generator,
+    "stream_parquet": _src_stream_parquet,
+}
 
 
 def compile_condition(cond) -> "F.Column":
@@ -547,6 +560,9 @@ class CompiledTopology:
         for name, df in self.sinks.items():
             cfg = self.sink_configs[name]
             kind = cfg["type"]
+            if df.isStreaming:
+                results[name] = self._run_streaming_sink(name, df, cfg)
+                continue
             if kind == "parquet":
                 writer = df.write.mode(cfg.get("mode", "overwrite"))
                 if cfg.get("partition_by"):
@@ -566,6 +582,50 @@ class CompiledTopology:
         for df in self.persisted:
             df.unpersist()
         return results
+
+    def _run_streaming_sink(self, name: str, df: DataFrame, cfg: dict):
+        """A sink fed by a streaming source runs as an availableNow
+        micro-batch query: `parquet` sinks go through the TableSink
+        foreachBatch bridge (idempotent partition-replacing batches,
+        streaming/sink.py) with `checkpoint` giving exactly-once batch
+        ids; `memory` sinks collect via an in-memory result table.
+        Blocking (awaitTermination) — the topology run returns when the
+        backlog is drained, Vector's drain-on-shutdown analogue."""
+        kind = cfg["type"]
+        if kind == "parquet":
+            from vector_spark.sinks.writer import ParquetSink
+            from vector_spark.streaming.sink import stream_to_table
+
+            # partitioned: batch replay replaces only its partitions
+            # (idempotent); un-partitioned: partition-replacing would
+            # clobber the whole table every batch, so append + the
+            # streaming checkpoint's exactly-once batch ids instead
+            # (the trade-off documented in streaming/sink.py)
+            mode = cfg.get(
+                "stream_mode",
+                "overwrite_partitions" if cfg.get("partition_by") else "append",
+            )
+            q = stream_to_table(
+                df,
+                ParquetSink(),
+                cfg["path"],
+                partition_by=cfg.get("partition_by"),
+                checkpoint=cfg.get("checkpoint"),
+                mode=mode,
+                query_name=name,
+            )
+            q.awaitTermination()
+            return "written"
+        if kind == "memory":
+            q = (
+                df.writeStream.format("memory")
+                .queryName(f"__cfg_{name}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return df.sparkSession.table(f"__cfg_{name}").collect()
+        raise ConfigError(f"sink type {kind!r} does not support streaming inputs")
 
 
 def expand_macros(transforms: dict) -> dict:
@@ -740,7 +800,10 @@ def compile_config(
         ups = []
         for i in inputs:
             df = resolve(i)
-            if consumers.get(i, 0) > 1 and i not in sources:
+            # streaming frames can't persist — each sink's query re-reads
+            # from its own checkpointed offsets instead (the micro-batch
+            # analogue of Fanout's clone-on-send)
+            if consumers.get(i, 0) > 1 and i not in sources and not df.isStreaming:
                 df = df.persist()
                 built[i] = df
                 persisted.append(df)
