@@ -2187,6 +2187,35 @@ def q_reduce_bounded(spark, sf):
     )
 
 
+# ---- sequence packing (training-tier, tokens axis) ------------------
+# Deterministic sharded next-fit; the oracle replays the identical
+# in-shard sequential sweep with a recursive CTE.
+
+
+@_q(
+    "sequence_packing",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT doc_id, doc_id % 4 AS grp, n_chars AS n,
+             row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+      FROM documents),
+    fit(grp, rn, doc_id, n, bin, fill) AS (
+      SELECT grp, rn, doc_id, n, 0, n FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.grp, s.rn, s.doc_id, s.n,
+             CASE WHEN f.fill + s.n > 1000 THEN f.bin + 1 ELSE f.bin END,
+             CASE WHEN f.fill + s.n > 1000 THEN s.n ELSE f.fill + s.n END
+      FROM fit f JOIN seq s ON s.grp = f.grp AND s.rn = f.rn + 1)
+    SELECT doc_id, grp * 1000000 + bin AS pack_id FROM fit
+    """,
+)
+def q_sequence_packing(spark, sf):
+    from vector_spark.training.packing import pack_sequences
+
+    docs = _t(spark, sf, "documents").select("doc_id", F.col("n_chars").alias("n_tok"))
+    return pack_sequences(docs, max_len=1000, shards=4).select("doc_id", "pack_id")
+
+
 # ---- RFC 5424 structured-data extraction ----------------------------
 
 

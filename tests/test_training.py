@@ -390,3 +390,40 @@ def test_connected_components_edges(spark):
     one = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
     got = {r["id"]: r["component"] for r in connected_components(one).collect()}
     assert got == {3: 3, 7: 3}
+
+
+def test_sequence_packing_invariants(spark):
+    """Every doc packed exactly once; no pack exceeds max_len unless it
+    holds a single oversized sequence; positions are contiguous; the
+    sharded sweep is deterministic across repartitionings."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from vector_spark.training.packing import pack_sequences, pack_stats
+
+    rng = random.Random(13)
+    rows = [(i, rng.randrange(1, 700)) for i in range(400)]
+    rows += [(1000 + i, 1500) for i in range(3)]  # oversized singles
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+
+    packed = pack_sequences(df, max_len=1024, shards=8)
+    out = packed.collect()
+    assert len(out) == len(rows)
+    assert len({r["doc_id"] for r in out}) == len(rows)
+
+    stats = pack_stats(packed, 1024).collect()
+    for s in stats:
+        assert s["total_tok"] <= 1024 or s["n_seqs"] == 1, s
+
+    # positions contiguous 0..n-1 within each pack
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], []).append(r["pack_pos"])
+    for pid, ps in by_pack.items():
+        assert sorted(ps) == list(range(len(ps))), pid
+
+    again = pack_sequences(df.repartition(13), max_len=1024, shards=8)
+    a = {(r["doc_id"], r["pack_id"]) for r in out}
+    b = {(r["doc_id"], r["pack_id"]) for r in again.collect()}
+    assert a == b
