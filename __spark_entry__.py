@@ -2187,6 +2187,38 @@ def q_reduce_bounded(spark, sf):
     )
 
 
+# ---- benchmark decontamination (n-gram overlap) ---------------------
+# "Benchmark" = docs 0-4's shingles; any doc sharing >= 2 distinct
+# 3-gram shingles with them is flagged (incl. the benchmark docs
+# themselves — self-overlap is the degenerate proof the join works).
+
+
+@_q(
+    "decontaminate",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS shingle
+      FROM documents),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+    hits AS (
+      SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits
+      FROM sh s JOIN bench b ON s.shingle = b.shingle
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_hits FROM hits WHERE n_hits >= 2
+    """,
+)
+def q_decontaminate(spark, sf):
+    from vector_spark.training.dedup import contamination_flags
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    return contamination_flags(docs, bench, n=3, min_hits=2)
+
+
 # ---- sequence packing (training-tier, tokens axis) ------------------
 # Deterministic sharded next-fit; the oracle replays the identical
 # in-shard sequential sweep with a recursive CTE.

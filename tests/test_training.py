@@ -427,3 +427,28 @@ def test_sequence_packing_invariants(spark):
     a = {(r["doc_id"], r["pack_id"]) for r in out}
     b = {(r["doc_id"], r["pack_id"]) for r in again.collect()}
     assert a == b
+
+
+def test_contamination_flags(spark):
+    """Docs sharing >= min_hits shingles with the benchmark are flagged;
+    clean docs are not; the plan broadcasts the benchmark side."""
+    from vector_spark.training.dedup import contamination_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown fox is a benchmark phrase too"),   # 2 shared shingles
+            (3, "completely different words entirely here now"),
+            (4, "the quick brown cat naps"),                     # 1 shared shingle
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    flagged = contamination_flags(docs, bench, n=3, min_hits=2)
+    got = {r["doc_id"]: r["n_hits"] for r in flagged.collect()}
+    assert 1 in got and got[1] >= 2
+    assert 3 not in got and 4 not in got
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan

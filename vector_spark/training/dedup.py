@@ -264,3 +264,39 @@ def hamming_near_pairs(
         )
     )
     return inter.unionByName(intra)
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing
+    >= `min_hits` distinct n-gram shingles with a benchmark/eval set —
+    the standard guard against test-set leakage in a training corpus.
+
+    Scale shape: the benchmark side is small by nature (eval sets are
+    KBs-MBs against a 100 TB corpus), so its distinct shingle set
+    BROADCASTS; the corpus side is one linear shingle explode and the
+    join is broadcast-hash — no shuffle of corpus text, and the
+    aggregation carries one (doc, hits) row per contaminated doc only
+    (inner join drops clean shingles before the groupBy).
+
+    Returns (id, n_hits) for contaminated docs; anti-join against it to
+    scrub (same keep-shape as components.keep_representatives).
+    """
+    corpus_sh = shingles(docs, n, text_col, id_col)
+    bench_sh = (
+        shingles(benchmark, n, text_col, id_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = corpus_sh.join(F.broadcast(bench_sh), "shingle")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
