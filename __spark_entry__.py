@@ -2187,6 +2187,31 @@ def q_reduce_bounded(spark, sf):
     )
 
 
+# ---- stratified sampling (training-mix rates per stratum) -----------
+
+
+@_q(
+    "sample_stratified",
+    """
+    SELECT event_id, user_id, event_type,
+           CASE event_type WHEN 'error' THEN 1 WHEN 'click' THEN 10
+                ELSE 4 END AS sample_rate
+    FROM events
+    WHERE user_id % (CASE event_type WHEN 'error' THEN 1
+                     WHEN 'click' THEN 10 ELSE 4 END) = 0
+    """,
+)
+def q_sample_stratified(spark, sf):
+    from vector_spark.operators.sample import StratifiedSample
+
+    ev = _t(spark, sf, "events")
+    out = StratifiedSample(
+        {"error": 1, "click": 10}, key_field="user_id",
+        strata_field="event_type", default_rate=4,
+    ).apply(ev)
+    return out.select("event_id", "user_id", "event_type", "sample_rate")
+
+
 # ---- benchmark decontamination (n-gram overlap) ---------------------
 # "Benchmark" = docs 0-4's shingles; any doc sharing >= 2 distinct
 # 3-gram shingles with them is flagged (incl. the benchmark docs

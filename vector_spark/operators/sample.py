@@ -56,3 +56,36 @@ class Sample(Transform):
         if self.stamp_rate:
             out = out.withColumn("sample_rate", F.lit(self.rate))
         return out
+
+
+class StratifiedSample(Transform):
+    """Per-stratum sampling for training-mix construction: each value
+    of `strata_field` gets its own 1-in-rate keep ratio (e.g. keep all
+    rare `error` events, 1-in-100 `debug`). Same deterministic keyed
+    decision as Sample (`pmod(key, rate) == 0` in modulo form), so
+    re-runs and engines agree row-for-row; stamps the per-row
+    `sample_rate` the way sample.rs stamps its rate field.
+
+    One narrow filter — no shuffle; the rate map rides along as a
+    literal map expression (strata counts are small by definition)."""
+
+    def __init__(
+        self,
+        rates: dict[str, int],
+        key_field: str,
+        strata_field: str,
+        default_rate: int = 1,
+    ):
+        self.rates, self.key_field = rates, key_field
+        self.strata_field, self.default_rate = strata_field, default_rate
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        rate_map = F.create_map(
+            *[x for k, v in self.rates.items() for x in (F.lit(k), F.lit(int(v)))]
+        )
+        rate = F.coalesce(
+            F.element_at(rate_map, F.col(self.strata_field)),
+            F.lit(self.default_rate),
+        )
+        keep = F.pmod(F.col(self.key_field).cast("long"), rate) == 0
+        return df.filter(keep).withColumn("sample_rate", rate)
