@@ -452,3 +452,29 @@ def test_contamination_flags(spark):
     assert 3 not in got and 4 not in got
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_materialize_packs(spark):
+    """Packed token arrays are the in-order concatenation of member
+    docs' tokens; totals match."""
+    from vector_spark.training.packing import materialize_packs, pack_sequences
+
+    corpus = spark.createDataFrame(
+        [(i, list(range(i * 10, i * 10 + 3 + i % 3))) for i in range(20)],
+        "doc_id long, tokens array<int>",
+    )
+    import pyspark.sql.functions as F
+
+    with_len = corpus.withColumn("n_tok", F.size("tokens"))
+    assign = pack_sequences(with_len, max_len=8, shards=2)
+    packs = materialize_packs(corpus, assign).collect()
+
+    a = {r["doc_id"]: (r["pack_id"], r["pack_pos"]) for r in assign.collect()}
+    toks = {r[0]: r[1] for r in corpus.collect()}
+    want = {}
+    for d, (pid, pos) in sorted(a.items(), key=lambda kv: (kv[1][0], kv[1][1])):
+        want.setdefault(pid, []).extend(toks[d])
+    got = {r["pack_id"]: list(r["tokens"]) for r in packs}
+    assert got == want
+    for r in packs:
+        assert r["n_tok"] == len(r["tokens"])

@@ -79,3 +79,30 @@ def pack_stats(packed: DataFrame, max_len: int, len_col: str = "n_tok") -> DataF
         F.sum(len_col).alias("total_tok"),
         F.round(F.sum(len_col) / max_len, 4).alias("fill"),
     )
+
+
+def materialize_packs(
+    corpus: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Join the pack assignment back to the corpus and emit one row per
+    pack with the concatenated token array (order = pack_pos, i.e. the
+    deterministic sweep order). This is the one place tokens legally
+    shuffle: producing reshuffled token sequences IS the operator's
+    output (unlike the log pipeline, whose invariant is that tokens
+    pass through untouched). The shuffle carries each token array
+    exactly once, keyed by pack_id."""
+    joined = corpus.select(id_col, tokens_col).join(assignment, id_col)
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pack_pos").alias("p"), F.col(tokens_col).alias("t")))
+        ),
+        lambda s: s["t"],
+    )
+    return joined.groupBy("pack_id").agg(
+        F.flatten(ordered).alias(tokens_col),
+        F.sum(F.size(tokens_col)).alias("n_tok"),
+        F.count(F.lit(1)).alias("n_seqs"),
+    )
