@@ -82,6 +82,8 @@ HEADLINE = [
     "journald_parser",
     "splunk_hec_parser",
     "dedup_clusters",
+    "sequence_packing",
+    "decontaminate",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))
