@@ -1,0 +1,80 @@
+"""Repo-wide physical-plan invariants over EVERY driver query.
+
+Two sweeps across all __spark_entry__.queries() plans at sf0.001:
+
+1. No CartesianProduct / BroadcastNestedLoopJoin — except the
+   explicitly documented all-pairs baselines, whose broadcast
+   nested-loop shape IS the algorithm (brute-force ANN scoring).
+2. No whole-stage-codegen method over HotSpot's ~8000-bytecode JIT
+   ceiling (past it the stage runs interpreted, a silent 3-7× tax —
+   see NOTES_r2.md), except the documented statsd codec.
+
+A new query that regresses either shows up here by name instead of as
+an unexplained bench slowdown two rounds later.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+# broadcast nested-loop is the documented *algorithm* for these
+# (embedding_neardup's all-pairs scan hides inside mapInPandas with a
+# broadcast variable, and ivf_topk equi-joins on cell — neither shows a
+# BNL node, so neither needs an exemption)
+CARTESIAN_OK = {
+    "ann_topk",        # brute-force exact baseline (broadcast query side)
+    "enrich_range",    # BetweenDates range join (broadcast dim, non-equi)
+}
+# statsd grammar: single-regex plan, still 10985 B (NOTES_r2.md) —
+# accepted at 4.6 s/100k rows; everything else must stay under
+JIT_CEILING_OK = {"statsd_parser"}
+JIT_LIMIT = 8000
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    import __spark_entry__ as e
+
+    out = {}
+    for name, q in e.queries().items():
+        df = q(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("codegen")
+        sizes = [int(x) for x in re.findall(r"maxMethodCodeSize:(\d+)", buf.getvalue())]
+        out[name] = (plan, max(sizes) if sizes else 0)
+    return out
+
+
+def test_no_unexpected_cartesian_joins(plans):
+    bad = {
+        name
+        for name, (plan, _) in plans.items()
+        if name not in CARTESIAN_OK
+        and ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan)
+    }
+    assert not bad, f"unexpected cartesian/BNL joins in: {sorted(bad)}"
+
+
+def test_allowlisted_cartesians_still_needed(plans):
+    # prune the allowlist when an entry stops needing it
+    stale = {
+        name
+        for name in CARTESIAN_OK
+        if name in plans
+        and "CartesianProduct" not in plans[name][0]
+        and "BroadcastNestedLoopJoin" not in plans[name][0]
+    }
+    assert not stale, f"allowlist entries no longer cartesian: {sorted(stale)}"
+
+
+def test_codegen_methods_under_jit_ceiling(plans):
+    bad = {
+        name: size
+        for name, (_, size) in plans.items()
+        if size > JIT_LIMIT and name not in JIT_CEILING_OK
+    }
+    assert not bad, f"codegen methods past the 8000-byte JIT ceiling: {bad}"
