@@ -366,3 +366,90 @@ def test_octet_framing_roundtrip(spark):
     got = [r[0] for r in df.select(octet_counting_frames(F.col("c"))).collect()]
     for (chunk, want), g in zip(cases, got):
         assert g == want, (chunk, want, g)
+
+
+def test_prometheus_matches_python_reference(spark):
+    """Random exposition-line battery vs a Python port of the line
+    grammar (lib/prometheus-parser/src/line.rs semantics as implemented:
+    full-line match, escape handling, NaN/±Inf, optional timestamp)."""
+    import math
+    import random
+    import re
+
+    import pyspark.sql.functions as F
+
+    from vector_spark.functions.metrics_codec import (
+        PROM_LINE_RX,
+        parse_prometheus,
+    )
+
+    label_rx = re.compile(r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:\\.|[^"\\])*)"')
+
+    def unescape(v):
+        out, i = [], 0
+        while i < len(v):
+            if v[i] == "\\" and i + 1 < len(v):
+                out.append({"\\": "\\", '"': '"', "n": "\n"}.get(v[i + 1], "\\" + v[i + 1]))
+                i += 2
+            else:
+                out.append(v[i])
+                i += 1
+        return "".join(out)
+
+    def py_ref(line):
+        t = line.strip()
+        m = re.match(PROM_LINE_RX, t)
+        if not m:
+            return {"name": None, "labels_s": None, "value": None,
+                    "timestamp_ms": None, "error": "not_a_metric_line"}
+        name, blob, vs, ts = m.groups()
+        if vs == "NaN":
+            v = float("nan")
+        elif vs in ("+Inf", "Inf"):
+            v = float("inf")
+        elif vs == "-Inf":
+            v = float("-inf")
+        else:
+            try:
+                v = float(vs)
+            except ValueError:
+                v = None
+        if v is None:
+            return {"name": None, "labels_s": None, "value": None,
+                    "timestamp_ms": None, "error": "bad value"}
+        labels_s = ",".join(
+            f"{k}:{unescape(val)}" for k, val in label_rx.findall(blob or "")
+        )
+        return {"name": name, "labels_s": labels_s, "value": v,
+                "timestamp_ms": int(ts) if ts else None, "error": None}
+
+    rng = random.Random(17)
+    lines = []
+    for _ in range(200):
+        name = rng.choice(["up", "http_req_total", "node:cpu", "_x9"])
+        nl = rng.randrange(0, 3)
+        val_pool = ["v", "1", "x y", 'q\\"z', "w\\\\u", "n\\nl"]
+        parts = []
+        for _ in range(nl):
+            k = rng.choice(["a", "bb", "c_1"])
+            v = rng.choice(val_pool)
+            parts.append(k + '="' + v + '"')
+        labels = ",".join(parts)
+        blob = "{" + labels + "}" if (nl or rng.random() < 0.2) else ""
+        val = rng.choice(["1", "0.5", "-2e3", "NaN", "+Inf", "-Inf", "oops"])
+        ts = f" {rng.randrange(-5, 2_000_000_000_000)}" if rng.random() < 0.4 else ""
+        lines.append(f"{name}{blob} {val}{ts}")
+    lines += ["# HELP x y", "", "9bad 1", "ok 1 2 3"]
+
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    p = parse_prometheus(F.col("line"))
+    cols = ["name", "labels_s", "value", "timestamp_ms", "error"]
+    rows = df.select("line", *[p[k].alias(k) for k in cols]).collect()
+    for r in rows:
+        want = py_ref(r["line"])
+        for k in cols:
+            w, g = want[k], r[k]
+            if isinstance(w, float) and g is not None:
+                assert (math.isnan(w) and math.isnan(g)) or w == g, (r["line"], k, w, g)
+            else:
+                assert w == g, (r["line"], k, w, g)
