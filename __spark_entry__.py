@@ -2252,10 +2252,14 @@ def q_decontaminate(spark, sf):
 @_q(
     "sequence_packing",
     """
-    WITH RECURSIVE seq AS (
-      SELECT doc_id, doc_id % 4 AS grp, n_chars AS n,
-             row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+    WITH RECURSIVE hashed AS (
+      SELECT doc_id, n_chars AS n,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 4 AS grp
       FROM documents),
+    seq AS (
+      SELECT doc_id, grp, n,
+             row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+      FROM hashed),
     fit(grp, rn, doc_id, n, bin, fill) AS (
       SELECT grp, rn, doc_id, n, 0, n FROM seq WHERE rn = 1
       UNION ALL
@@ -2267,10 +2271,12 @@ def q_decontaminate(spark, sf):
     """,
 )
 def q_sequence_packing(spark, sf):
-    from vector_spark.training.packing import pack_sequences
+    from vector_spark.training.packing import pack_sequences, portable_shard
 
     docs = _t(spark, sf, "documents").select("doc_id", F.col("n_chars").alias("n_tok"))
-    return pack_sequences(docs, max_len=1000, shards=4).select("doc_id", "pack_id")
+    return pack_sequences(
+        docs, max_len=1000, shards=4, shard_key=portable_shard("doc_id", 4)
+    ).select("doc_id", "pack_id")
 
 
 # ---- RFC 5424 structured-data extraction ----------------------------

@@ -392,6 +392,18 @@ def test_connected_components_edges(spark):
     assert got == {3: 3, 7: 3}
 
 
+def test_keep_representatives_custom_out_id(spark):
+    """keep_representatives must bind to the components frame's actual id
+    column (regression: it hardcoded 'id', breaking custom out_id)."""
+    from vector_spark.training.components import connected_components, keep_representatives
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    comps = connected_components(pairs, out_id="node")
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(1, 6)], "doc_id long, text string")
+    kept = {r["doc_id"] for r in keep_representatives(docs, comps, comp_id="node").collect()}
+    assert kept == {1, 4, 5}
+
+
 def test_sequence_packing_invariants(spark):
     """Every doc packed exactly once; no pack exceeds max_len unless it
     holds a single oversized sequence; positions are contiguous; the
@@ -426,6 +438,81 @@ def test_sequence_packing_invariants(spark):
     again = pack_sequences(df.repartition(13), max_len=1024, shards=8)
     a = {(r["doc_id"], r["pack_id"]) for r in out}
     b = {(r["doc_id"], r["pack_id"]) for r in again.collect()}
+    assert a == b
+
+
+def test_sequence_packing_string_ids_corpus(spark):
+    """The flagship corpus has string doc_ids ('doc-%012d'); packing must
+    shard them by hash (a numeric cast would NULL out and collapse all
+    rows into one shard). Runs pack_sequences + materialize_packs on the
+    actual corpus generator output with the DEFAULT shard key."""
+    import pyspark.sql.functions as F
+
+    from vector_spark.corpus import sequences
+    from vector_spark.training.packing import materialize_packs, pack_sequences
+
+    corpus = sequences(spark, 300, seed=7).select("doc_id", "tokens", "n_tok")
+    packed = pack_sequences(corpus, max_len=256, shards=8)
+    out = packed.collect()
+
+    # id type survives, every doc packed exactly once, shards spread
+    assert all(isinstance(r["doc_id"], str) for r in out)
+    assert len({r["doc_id"] for r in out}) == 300
+    shard_ids = {r["pack_id"] // 1_000_000 for r in out}
+    assert len(shard_ids) > 1, "string ids collapsed into a single shard"
+
+    # capacity invariant
+    fills = (
+        packed.groupBy("pack_id")
+        .agg(F.sum("n_tok").alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for s in fills:
+        assert s["t"] <= 256 or s["n"] == 1, s
+
+    # materialize: token conservation per pack
+    packs = materialize_packs(corpus, packed).collect()
+    assert sum(r["n_seqs"] for r in packs) == 300
+    total_tok = corpus.agg(F.sum("n_tok")).collect()[0][0]
+    assert sum(len(r["tokens"]) for r in packs) == total_tok
+
+    # determinism across physical layouts
+    again = pack_sequences(corpus.repartition(5), max_len=256, shards=8)
+    a = {(r["doc_id"], r["pack_id"], r["pack_pos"]) for r in out}
+    b = {(r["doc_id"], r["pack_id"], r["pack_pos"]) for r in again.collect()}
+    assert a == b
+
+
+def test_sequence_packing_ffd(spark):
+    """FFD sweep: same invariants, fill-per-pack no worse in aggregate
+    than next-fit (fewer or equal packs on the same input)."""
+    import random
+
+    from vector_spark.training.packing import pack_sequences
+
+    rng = random.Random(99)
+    rows = [(f"d{i:05d}", rng.randrange(1, 700)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok long")
+
+    nf = pack_sequences(df, max_len=1024, shards=4).collect()
+    ffd = pack_sequences(df, max_len=1024, shards=4, strategy="ffd").collect()
+
+    assert len(ffd) == len(rows)
+    assert len({r["doc_id"] for r in ffd}) == len(rows)
+
+    by_pack = {}
+    for r in ffd:
+        by_pack.setdefault(r["pack_id"], []).append((r["pack_pos"], r["n_tok"]))
+    for pid, members in by_pack.items():
+        assert sorted(p for p, _ in members) == list(range(len(members))), pid
+        assert sum(n for _, n in members) <= 1024, pid
+
+    assert len(by_pack) <= len({r["pack_id"] for r in nf})
+
+    # deterministic across layouts
+    again = pack_sequences(df.repartition(7), max_len=1024, shards=4, strategy="ffd")
+    a = {(r["doc_id"], r["pack_id"], r["pack_pos"]) for r in ffd}
+    b = {(r["doc_id"], r["pack_id"], r["pack_pos"]) for r in again.collect()}
     assert a == b
 
 

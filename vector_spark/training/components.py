@@ -115,12 +115,14 @@ def connected_components(
 
 
 def keep_representatives(
-    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id", comp_id: str = "id"
 ) -> DataFrame:
     """Dedup decision: keep every document that is its own component
-    minimum (the representative) or in no candidate pair at all."""
-    losers = components.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    minimum (the representative) or in no candidate pair at all.
+    `comp_id` names the id column of `components` (the `out_id` passed
+    to connected_components)."""
+    losers = components.filter(F.col(comp_id) != F.col("component")).select(
+        F.col(comp_id).alias(id_col)
     )
     # no broadcast hint: the loser set scales with the corpus (can be a
     # large fraction at 100 TB) — let AQE pick broadcast when it is small
