@@ -325,3 +325,44 @@ checkpoint = "{ck}"
     ).coalesce(1).write.parquet(src + "/p2")
     compile_config(spark, toml).run()
     assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [1, 3]
+
+
+def test_streaming_partitioned_sink_defaults_to_append(spark, tmp_path):
+    """A PARTITIONED streaming parquet sink defaults to append: a later
+    micro-batch touching an existing partition must not delete rows
+    earlier batches wrote there (ADVICE r2: the old
+    overwrite_partitions default silently dropped data)."""
+    import pytest
+
+    from vector_spark.plans.config import ConfigError
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, source string"
+    ).coalesce(1).write.parquet(src + "/p1")
+
+    toml = f"""
+[sources.stream]
+type = "stream_parquet"
+path = "{src}/p*"
+schema = "id int, source string"
+
+[sinks.out]
+type = "parquet"
+inputs = ["stream"]
+path = "{out}"
+checkpoint = "{ck}"
+partition_by = ["source"]
+"""
+    compile_config(spark, toml).run()
+    spark.createDataFrame(
+        [(3, "b")], "id int, source string"
+    ).coalesce(1).write.parquet(src + "/p2")
+    compile_config(spark, toml).run()
+    got = {(r["id"], r["source"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "b")}
+
+    # overwrite_partitions without partition_by is a config error
+    bad = toml.replace('partition_by = ["source"]', 'stream_mode = "overwrite_partitions"')
+    with pytest.raises(ConfigError):
+        compile_config(spark, bad).run()

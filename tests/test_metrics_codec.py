@@ -72,6 +72,19 @@ def test_statsd_reference_matrix(spark):
         assert rows[bad]["name"] is None
 
 
+def test_statsd_multicolon_tags_and_bad_rate(spark):
+    """parser.rs splits tag chunks on ':' and takes pair[1]: 'k:a:b'
+    keeps only 'a' (both serializations); a non-numeric sample rate is a
+    parse error, not a silent null."""
+    rows = _statsd_rows(spark, ["t:1|c|#k:a:b,env:prod", "foo:1|c|@abc"])
+    r = rows["t:1|c|#k:a:b,env:prod"]
+    assert r["tags_s"] == "k:a,env:prod"
+    assert r["tags_sorted"] == "env:prod,k:a"
+    bad = rows["foo:1|c|@abc"]
+    assert bad["error"] is not None
+    assert bad["name"] is None and bad["value"] is None
+
+
 def test_statsd_absolute_gauge_and_zero_rate(spark):
     rows = _statsd_rows(spark, ["g1:3|g", "g2:+4|g", "z:5|c|@0"])
     assert rows["g1:3|g"]["kind"] == "absolute"

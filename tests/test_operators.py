@@ -206,6 +206,10 @@ def test_fields_ops(spark):
     assert out["lit"] == "v" and out["tpl"] == "pre-x"
     assert "a" not in RemoveFields(["a"]).apply(df).columns
     assert "b" in RenameFields({"a": "b"}).apply(df).columns
+    # missing source leaves the target untouched (rename_fields.rs:
+    # only touches target when remove(old) yields a value)
+    untouched = RenameFields({"ghost": "a"}).apply(df).collect()[0]
+    assert untouched["a"] == "x"
     co = Coercer({"n": "int", "t": "timestamp"}).apply(df).collect()[0]
     assert co["n"] == 7 and co["t"].year == 2026
     cc = Concat("out", [("a", None, None), ("n", 0, 1)], joiner="-").apply(df).collect()[0]
@@ -287,6 +291,26 @@ def test_metric_to_log(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     row = MetricToLog().apply(df).collect()[0]
     assert row["host"] == "h9" and '"name":"c"' in row["message"]
+
+    # null tags / null name serialize, not NULL out the message
+    nulls = spark.createDataFrame(
+        [(None, None, "2026-01-01 00:00:00")],
+        "name string, tags map<string,string>, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    nrow = MetricToLog().apply(nulls).collect()[0]
+    assert nrow["message"] is not None
+    assert '"name":""' in nrow["message"] and '"tags":{}' in nrow["message"]
+
+    # quotes/backslashes in tag values are JSON-escaped
+    import json
+
+    spicy = spark.createDataFrame(
+        [("m", {"q": 'say "hi"', "b": "a\\b"}, "2026-01-01 00:00:00")],
+        "name string, tags map<string,string>, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    srow = MetricToLog().apply(spicy).collect()[0]
+    parsed = json.loads(srow["message"])
+    assert parsed["tags"] == {"q": 'say "hi"', "b": "a\\b"}
 
 
 def test_enrichment_unique_contract(spark):

@@ -240,7 +240,9 @@ def test_bloom_filter_kernel():
 def test_stream_to_table_sink_exactly_once(spark, tmp_path):
     """foreachBatch through the TableSink abstraction: incremental
     availableNow runs over a growing directory write each batch once;
-    a re-run with the same checkpoint writes nothing new."""
+    the DEFAULT mode is append — a later batch touching an existing
+    partition must NOT delete rows earlier batches wrote there — and a
+    re-run with the same checkpoint writes nothing new."""
     import pyspark.sql.functions as F
 
     from vector_spark.sinks.writer import ParquetSink
@@ -261,16 +263,45 @@ def test_stream_to_table_sink_exactly_once(spark, tmp_path):
     run()
     assert spark.read.parquet(out).count() == 2
 
-    # second incremental batch: only the new file is processed; the
-    # dynamic-overwrite sink replaces only partitions in the new batch
+    # second incremental batch: only the new file is processed; append
+    # keeps (2,'b') even though batch 2 also writes to partition b
     spark.createDataFrame(
         [(3, "b"), (4, "c")], "id int, source string"
     ).coalesce(1).write.mode("overwrite").parquet(src + "/p2")
     run()
     got = {(r["id"], r["source"]) for r in spark.read.parquet(out).collect()}
-    # partition a survives from batch 1; b was replaced by batch 2's rows
-    assert got == {(1, "a"), (3, "b"), (4, "c")}
+    assert got == {(1, "a"), (2, "b"), (3, "b"), (4, "c")}
 
     # idempotent resume: nothing new to process → no change
     run()
     assert {(r["id"], r["source"]) for r in spark.read.parquet(out).collect()} == got
+
+
+def test_stream_to_table_overwrite_partitions_opt_in(spark, tmp_path):
+    """Explicit stream_mode='overwrite_partitions' replaces the touched
+    partitions per batch (partition-complete-batch contract): (2,'b')
+    from batch 1 vanishes when batch 2 rewrites partition b. This is
+    the documented opt-in hazard, not the default."""
+    from vector_spark.sinks.writer import ParquetSink
+    from vector_spark.streaming import stream_to_table
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/p1")
+
+    def run():
+        stream = spark.readStream.schema("id int, source string").parquet(src + "/p*")
+        q = stream_to_table(
+            stream, ParquetSink(), out, partition_by=["source"],
+            checkpoint=ck, mode="overwrite_partitions",
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(
+        [(3, "b"), (4, "c")], "id int, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/p2")
+    run()
+    got = {(r["id"], r["source"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (3, "b"), (4, "c")}

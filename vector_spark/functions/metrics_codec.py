@@ -53,10 +53,11 @@ def _tags_map(tags_part: Column) -> Column:
     hot paths (see module docstring)."""
     chunks = F.split(F.substring(tags_part, 2, _BIG), ",")
     keys = F.transform(chunks, lambda c: F.substring_index(c, ":", 1))
+    # 'k:a:b' keeps only 'a': parser.rs splits on ':' and takes pair[1]
     vals = F.transform(
         chunks,
         lambda c: F.when(
-            F.instr(c, ":") > 0, F.regexp_extract(c, "^[^:]*:(.*)$", 1)
+            F.instr(c, ":") > 0, F.regexp_extract(c, "^[^:]*:([^:]*)", 1)
         ).otherwise(F.lit("true")),
     )
     return F.map_from_arrays(keys, vals)
@@ -64,9 +65,12 @@ def _tags_map(tags_part: Column) -> Column:
 
 def _tags_inline(tags_part: Column) -> Column:
     """'#k:v,k2' -> 'k:v,k2:true' (input order, valueless -> true) with
-    one regexp_replace — no HOFs, codegen-friendly."""
+    two regexp_replaces — no HOFs, codegen-friendly. Multi-colon chunks
+    truncate to the first value segment ('k:a:b' -> 'k:a', matching
+    parser.rs split(':') pair[1])."""
     s = F.substring(tags_part, 2, _BIG)
-    return F.regexp_replace(s, r"(^|,)([^:,]+)(?=,|$)", "$1$2:true")
+    s = F.regexp_replace(s, r"(^|,)([^:,]+)(?=,|$)", "$1$2:true")
+    return F.regexp_replace(s, r"(^|,)([^:,]*):([^:,]*)[^,]*", "$1$2:$3")
 
 
 # the whole datagram grammar as ONE regex (it is regular): key : value
@@ -121,6 +125,7 @@ def parse_statsd(col: Column) -> dict[str, Column]:
         F.when(mtype.isNull(), F.lit("malformed packet"))
         .when(~mtype.isin("c", "g", "ms", "h", "d", "s"), F.lit("unknown metric type"))
         .when(rate_str.isNotNull() & (raw_rate < 0), F.lit("negative sample rate"))
+        .when(rate_str.isNotNull() & raw_rate.isNull(), F.lit("invalid sample rate"))
         .when(mtype.isin("c", "ms", "h", "d") & v.isNull(), F.lit("bad value"))
         .when((mtype == "g") & ~(g_signed | g_digit), F.lit("invalid gauge value prefix"))
         .when((mtype == "g") & v.isNull(), F.lit("bad value"))

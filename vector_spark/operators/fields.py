@@ -70,6 +70,11 @@ class RenameFields(Transform):
 
     def apply(self, df: DataFrame) -> DataFrame:
         for old, new in self.mapping.items():
+            if old not in df.columns:
+                # rename_fields.rs only touches the target when
+                # remove(old) yields a value: a missing source leaves
+                # the target untouched
+                continue
             if new in df.columns and new != old:
                 # rename replaces an existing target field
                 # (rename_fields.rs: insert overwrites on conflict)

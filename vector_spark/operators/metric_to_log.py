@@ -10,9 +10,10 @@ The message is CANONICAL by construction — fixed field order
 (name, namespace, tags, ts, kind, value_type, value[, set_values]),
 tags sorted by key, timestamps as unix microseconds, doubles as %.4f —
 rather than engine-default ``to_json`` formatting, so any engine
-(our DuckDB oracle included) reproduces it byte-for-byte. Tag keys and
-values are emitted verbatim (metric tag values are identifier-like by
-contract; a value containing a quote would need JSON escaping).
+(our DuckDB oracle included) reproduces it byte-for-byte. Null metric
+fields never null the whole message: tags coalesce to {}, name to '',
+ts to JSON null. Tag keys/values are JSON-escaped (backslash, quote) —
+identifier-like values pass through byte-identical.
 """
 
 from __future__ import annotations
@@ -23,11 +24,20 @@ from pyspark.sql import functions as F
 from vector_spark.operators.base import Transform
 
 
+def _esc(c: Column) -> Column:
+    """JSON string escape for the two structurally dangerous bytes."""
+    return F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), r'"', r'\\"')
+
+
 def _tags_json(tags: Column) -> Column:
-    entries = F.array_sort(F.map_entries(tags))
+    # null tags serialize as {} (reference: a metric without tags still
+    # serializes; None tags simply omit entries)
+    entries = F.array_sort(F.map_entries(F.coalesce(tags, F.create_map())))
     kv = F.transform(
         entries,
-        lambda e: F.concat(F.lit('"'), e["key"], F.lit('":"'), e["value"], F.lit('"')),
+        lambda e: F.concat(
+            F.lit('"'), _esc(e["key"]), F.lit('":"'), _esc(e["value"]), F.lit('"')
+        ),
     )
     return F.concat(F.lit("{"), F.concat_ws(",", kv), F.lit("}"))
 
@@ -65,12 +75,12 @@ class MetricToLog(Transform):
         else:
             sets_json = F.lit("")
         message = F.concat(
-            F.lit('{"name":"'), F.col("name"),
-            F.lit('","namespace":"'), col_or("namespace", "vector"),
+            F.lit('{"name":"'), _esc(F.coalesce(F.col("name"), F.lit(""))),
+            F.lit('","namespace":"'), F.coalesce(col_or("namespace", "vector"), F.lit("vector")),
             F.lit('","tags":'), _tags_json(F.col("tags")),
-            F.lit(',"ts":'), ts_us.cast("string"),
-            F.lit(',"kind":"'), col_or("kind", "absolute"),
-            F.lit('","value_type":"'), col_or("value_type", "gauge"),
+            F.lit(',"ts":'), F.coalesce(ts_us.cast("string"), F.lit("null")),
+            F.lit(',"kind":"'), F.coalesce(col_or("kind", "absolute"), F.lit("absolute")),
+            F.lit('","value_type":"'), F.coalesce(col_or("value_type", "gauge"), F.lit("gauge")),
             F.lit('","value":'), val_json,
             sets_json,
             F.lit("}"),

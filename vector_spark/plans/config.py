@@ -596,15 +596,23 @@ class CompiledTopology:
             from vector_spark.sinks.writer import ParquetSink
             from vector_spark.streaming.sink import stream_to_table
 
-            # partitioned: batch replay replaces only its partitions
-            # (idempotent); un-partitioned: partition-replacing would
-            # clobber the whole table every batch, so append + the
-            # streaming checkpoint's exactly-once batch ids instead
-            # (the trade-off documented in streaming/sink.py)
-            mode = cfg.get(
-                "stream_mode",
-                "overwrite_partitions" if cfg.get("partition_by") else "append",
-            )
+            # Default is append for ALL streaming parquet sinks: the
+            # streaming checkpoint's batch ids already give exactly-once
+            # on replay, and the reference's sinks are at-least-once
+            # append that never discard prior events. stream_mode =
+            # "overwrite_partitions" is an explicit opt-in for the
+            # partition-complete-batch pattern ONLY — with a recurring
+            # partition key (e.g. 'source') each micro-batch's dynamic
+            # partition overwrite DELETES rows earlier batches wrote to
+            # the same partition (availableNow splits the backlog on
+            # maxFilesPerTrigger, so this silently drops data).
+            mode = cfg.get("stream_mode", "append")
+            if mode == "overwrite_partitions" and not cfg.get("partition_by"):
+                raise ConfigError(
+                    f"sink {name!r}: stream_mode='overwrite_partitions' "
+                    "requires partition_by (it replaces whole partitions "
+                    "per batch and would clobber the table)"
+                )
             q = stream_to_table(
                 df,
                 ParquetSink(),

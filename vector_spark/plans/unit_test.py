@@ -28,7 +28,9 @@ test's input events spliced in as an inline source at every
 `insert_at` point (the reference builds the interpolated config the
 same way), resolves each `extract_from` output, and evaluates every
 condition as a SQL predicate over the extracted rows. A check passes
-when ≥1 row arrives and every row satisfies every condition;
+when, for EACH condition, at least ONE output row satisfies it
+(unit_test.rs:234-258 — conditions are satisfied independently, not
+universally: a green test does NOT guarantee every row matched);
 `no_outputs_from` passes when the component yields zero rows.
 """
 

@@ -9,14 +9,18 @@ Structured Streaming's checkpointed micro-batch loop feeding the same
     q = stream_to_table(df, ParquetSink(), out_dir,
                         partition_by=["source"], checkpoint=ckpt_dir)
 
-Semantics: the streaming checkpoint gives exactly-once *batch ids*; the
-sink's partition-replacing write makes a replayed batch idempotent for
-partition-complete batches (Iceberg `overwritePartitions` / dynamic
-partition overwrite — same contract as the batch checkpoint loop in
-sinks/checkpoint.py). For append-only streams where partitions span
-batches, pass `mode="append"` and rely on the batch-id dedup of the
-downstream reader instead (documented trade-off; Vector's own sinks are
-at-least-once there too).
+Semantics: the streaming checkpoint gives exactly-once *batch ids*, so
+the default `mode="append"` never re-commits a completed batch and —
+like the reference's at-least-once sinks — never discards rows earlier
+batches wrote. `mode="overwrite_partitions"` is an explicit opt-in for
+the partition-complete-batch pattern (Iceberg `overwritePartitions` /
+dynamic partition overwrite, the batch-checkpoint contract in
+sinks/checkpoint.py): a replayed batch is fully idempotent, BUT each
+batch DELETES whatever earlier batches wrote to the partitions it
+touches. With a recurring partition key (e.g. 'source') and a backlog
+split across micro-batches (availableNow + maxFilesPerTrigger) that
+silently drops data — only opt in when every partition is complete
+within one batch.
 """
 
 from __future__ import annotations
@@ -32,7 +36,7 @@ def stream_to_table(
     dest: str,
     partition_by: list[str] | None = None,
     checkpoint: str | None = None,
-    mode: str = "overwrite_partitions",
+    mode: str = "append",
     trigger_available_now: bool = True,
     query_name: str = "vector_sink",
 ):
