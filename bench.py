@@ -13,6 +13,17 @@ pipeline on a deterministic synthetic corpus, and prints ONE JSON line:
 Each query is forced with a noop-format write (full execution, no
 driver-side result materialization cost). Timings exclude session
 startup; the first (untimed) warmup query absorbs JVM/codegen warmup.
+
+Calibration gating (same hygiene as tools/scaling_bench.py): this
+sandbox VM sits on a contended hypervisor — single samples can be
+5-10x inflated by multi-second whole-guest pauses (BENCH_r02 showed 4x
+phantom "regressions" on untouched plans). Every sample is bracketed by
+single-core calibration spins; a sample whose before/after spin
+deviates >25% from the session-best spin ran in a throttled window and
+is discarded and retried (up to BENCH_MAX_TRIES). The kept number is
+the best of the valid samples; queries that never saw a clean window
+are listed in `tainted` and their timing is the best raw sample,
+untrusted for regression adjudication.
 """
 
 from __future__ import annotations
@@ -87,13 +98,62 @@ HEADLINE = [
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))
-# best-of-N per query: the sandbox VM suffers multi-second hypervisor
-# pauses; a single sample can be 5-10x inflated. 2 keeps bench time sane.
-REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+# valid (clean-window) samples wanted per query / retry budget
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+MAX_TRIES = int(os.environ.get("BENCH_MAX_TRIES", "5"))
+TAINT_TOLERANCE = 0.25
 
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def calibrate() -> float:
+    """Single-core spin (~0.3 s clean). Slow → the hypervisor is
+    stealing cycles in this window; timings taken here are garbage."""
+    t0 = time.time()
+    s = 0
+    for i in range(5_000_000):
+        s += i * i
+    return time.time() - t0
+
+
+class Gate:
+    """Tracks the session-best calibration and validates sample windows."""
+
+    def __init__(self) -> None:
+        # several upfront spins so the baseline itself isn't a fluke
+        self.best = min(calibrate() for _ in range(3))
+
+    def clean(self, cal: float) -> bool:
+        self.best = min(self.best, cal)
+        return cal <= self.best * (1 + TAINT_TOLERANCE)
+
+    def sample(self, fn) -> tuple[float, bool]:
+        """Run fn bracketed by spins; returns (secs, window_was_clean)."""
+        pre = calibrate()
+        t0 = time.time()
+        fn()
+        secs = time.time() - t0
+        post = calibrate()
+        ok = self.clean(pre) and self.clean(post)
+        return secs, ok
+
+    def best_of(self, fn) -> tuple[float, bool]:
+        """Best of REPEATS clean samples (retrying tainted windows up to
+        MAX_TRIES); falls back to best raw sample, flagged, if the VM
+        never quiets down."""
+        valid, raw = [], []
+        for _ in range(MAX_TRIES):
+            secs, ok = self.sample(fn)
+            raw.append(secs)
+            if ok:
+                valid.append(secs)
+                if len(valid) >= REPEATS:
+                    break
+        if valid:
+            return min(valid), True
+        return min(raw), False
 
 
 def main() -> int:
@@ -114,14 +174,14 @@ def main() -> int:
 
     only = [q for q in os.environ.get("BENCH_ONLY", "").split(",") if q]
     headline = [q for q in HEADLINE if not only or q in only]
+    gate = Gate()
     timings: dict[str, float] = {}
+    tainted: list[str] = []
     for name in headline:
-        best = float("inf")
-        for _ in range(REPEATS):
-            t0 = time.time()
-            force(queries[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        secs, ok = gate.best_of(lambda: force(queries[name](spark, sf_dir)))
+        timings[name] = round(secs, 3)
+        if not ok:
+            tainted.append(name)
 
     # flagship pipeline throughput on the synthetic tokenized-log corpus.
     # Materialize the corpus first (untimed): the timed section measures
@@ -135,12 +195,13 @@ def main() -> int:
         shutil.rmtree(corpus_dir, ignore_errors=True)
         sequences(spark, PIPELINE_ROWS, seed=42).write.mode("overwrite").parquet(corpus_dir)
     corpus = spark.read.parquet(corpus_dir)
-    pipe_secs = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.time()
-        run_pipeline(spark, corpus, enrichment=enrichment_table(spark), out_dir=None)
-        pipe_secs = min(pipe_secs, time.time() - t0)
+    enrichment = enrichment_table(spark)
+    pipe_secs, pipe_ok = gate.best_of(
+        lambda: run_pipeline(spark, corpus, enrichment=enrichment, out_dir=None)
+    )
     timings["pipeline"] = round(pipe_secs, 3)
+    if not pipe_ok:
+        tainted.append("pipeline")
 
     total = round(sum(timings.values()), 3)
     print(
@@ -156,6 +217,12 @@ def main() -> int:
                     "rows": PIPELINE_ROWS,
                     "secs": round(pipe_secs, 3),
                     "rows_per_sec": round(PIPELINE_ROWS / pipe_secs, 1),
+                },
+                "calibration": {
+                    "best_spin_secs": round(gate.best, 3),
+                    "taint_tolerance": TAINT_TOLERANCE,
+                    "repeats": REPEATS,
+                    "tainted_queries": tainted,
                 },
             }
         )
