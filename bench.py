@@ -14,16 +14,20 @@ Each query is forced with a noop-format write (full execution, no
 driver-side result materialization cost). Timings exclude session
 startup; the first (untimed) warmup query absorbs JVM/codegen warmup.
 
-Calibration gating (same hygiene as tools/scaling_bench.py): this
+Calibration gating (same motive as tools/scaling_bench.py): this
 sandbox VM sits on a contended hypervisor — single samples can be
-5-10x inflated by multi-second whole-guest pauses (BENCH_r02 showed 4x
-phantom "regressions" on untouched plans). Every sample is bracketed by
-single-core calibration spins; a sample whose before/after spin
-deviates >25% from the session-best spin ran in a throttled window and
-is discarded and retried (up to BENCH_MAX_TRIES). The kept number is
-the best of the valid samples; queries that never saw a clean window
-are listed in `tainted` and their timing is the best raw sample,
-untrusted for regression adjudication.
+5-10x inflated (BENCH_r02 showed 4x phantom "regressions" on untouched
+plans). The probe is a FIXED parallel Spark job (range-sum across one
+partition per core): a single-core spin misses the dominant failure
+mode here, where the guest's 32 vCPUs map to ~8 effective host cores
+and neighbors starve the executor pool while one thread still runs
+clean (measured: a 6.3 s sample of a 0.8 s query passed a single-core
+gate). Probes interleave between samples — each doubles as the
+post-check of one sample and the pre-check of the next; a sample is
+valid only if both neighboring probes are within 40% of the session
+best. Kept number = best valid sample (retrying up to
+BENCH_MAX_TRIES); queries that never saw a clean window are listed in
+`tainted`, their timing untrusted for regression adjudication.
 """
 
 from __future__ import annotations
@@ -101,56 +105,55 @@ PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))
 # valid (clean-window) samples wanted per query / retry budget
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 MAX_TRIES = int(os.environ.get("BENCH_MAX_TRIES", "5"))
-TAINT_TOLERANCE = 0.25
+TAINT_TOLERANCE = 0.40
+_PROBE_ROWS_PER_CORE = 100_000_000
 
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def calibrate() -> float:
-    """Single-core spin (~0.3 s clean). Slow → the hypervisor is
-    stealing cycles in this window; timings taken here are garbage."""
-    t0 = time.time()
-    s = 0
-    for i in range(5_000_000):
-        s += i * i
-    return time.time() - t0
-
-
 class Gate:
-    """Tracks the session-best calibration and validates sample windows."""
+    """Validates sample windows against a fixed parallel Spark probe
+    (one range-sum partition per core, ~0.6 s clean): slow probe → the
+    executor pool is being starved right now and timings are garbage."""
 
-    def __init__(self) -> None:
-        # several upfront spins so the baseline itself isn't a fluke
-        self.best = min(calibrate() for _ in range(3))
+    def __init__(self, spark, cpus: int) -> None:
+        self.spark, self.cpus = spark, cpus
+        for _ in range(2):  # JIT warmup for the probe itself
+            self._probe()
+        self.best = min(self._probe() for _ in range(3))
 
-    def clean(self, cal: float) -> bool:
+    def _probe(self) -> float:
+        t0 = time.time()
+        self.spark.range(0, _PROBE_ROWS_PER_CORE * self.cpus, 1, self.cpus).selectExpr(
+            "sum(id % 1000) as s"
+        ).collect()
+        return time.time() - t0
+
+    def _clean(self, cal: float) -> bool:
         self.best = min(self.best, cal)
         return cal <= self.best * (1 + TAINT_TOLERANCE)
-
-    def sample(self, fn) -> tuple[float, bool]:
-        """Run fn bracketed by spins; returns (secs, window_was_clean)."""
-        pre = calibrate()
-        t0 = time.time()
-        fn()
-        secs = time.time() - t0
-        post = calibrate()
-        ok = self.clean(pre) and self.clean(post)
-        return secs, ok
 
     def best_of(self, fn) -> tuple[float, bool]:
         """Best of REPEATS clean samples (retrying tainted windows up to
         MAX_TRIES); falls back to best raw sample, flagged, if the VM
-        never quiets down."""
+        never quiets down. Probes interleave between samples: sample i
+        is valid iff the probes immediately before and after it are
+        both within tolerance of the session-best probe."""
         valid, raw = [], []
+        pre_ok = self._clean(self._probe())
         for _ in range(MAX_TRIES):
-            secs, ok = self.sample(fn)
+            t0 = time.time()
+            fn()
+            secs = time.time() - t0
             raw.append(secs)
-            if ok:
+            post_ok = self._clean(self._probe())
+            if pre_ok and post_ok:
                 valid.append(secs)
                 if len(valid) >= REPEATS:
                     break
+            pre_ok = post_ok
         if valid:
             return min(valid), True
         return min(raw), False
@@ -174,7 +177,7 @@ def main() -> int:
 
     only = [q for q in os.environ.get("BENCH_ONLY", "").split(",") if q]
     headline = [q for q in HEADLINE if not only or q in only]
-    gate = Gate()
+    gate = Gate(spark, cpus)
     timings: dict[str, float] = {}
     tainted: list[str] = []
     for name in headline:
@@ -219,7 +222,7 @@ def main() -> int:
                     "rows_per_sec": round(PIPELINE_ROWS / pipe_secs, 1),
                 },
                 "calibration": {
-                    "best_spin_secs": round(gate.best, 3),
+                    "best_probe_secs": round(gate.best, 3),
                     "taint_tolerance": TAINT_TOLERANCE,
                     "repeats": REPEATS,
                     "tainted_queries": tainted,

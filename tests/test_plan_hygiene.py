@@ -7,7 +7,9 @@ Two sweeps across all __spark_entry__.queries() plans at sf0.001:
    nested-loop shape IS the algorithm (brute-force ANN scoring).
 2. No whole-stage-codegen method over HotSpot's ~8000-bytecode JIT
    ceiling (past it the stage runs interpreted, a silent 3-7× tax —
-   see NOTES_r2.md), except the documented statsd codec.
+   see NOTES_r2.md). The allowlist is EMPTY as of round 3: the statsd
+   codec's extraction moved into one Arrow UDF (a codegen barrier),
+   which also must stay a SINGLE ArrowEvalPython node (sweep 3).
 
 A new query that regresses either shows up here by name instead of as
 an unexplained bench slowdown two rounds later.
@@ -27,9 +29,7 @@ CARTESIAN_OK = {
     "ann_topk",        # brute-force exact baseline (broadcast query side)
     "enrich_range",    # BetweenDates range join (broadcast dim, non-equi)
 }
-# statsd grammar: single-regex plan, still 10985 B (NOTES_r2.md) —
-# accepted at 4.6 s/100k rows; everything else must stay under
-JIT_CEILING_OK = {"statsd_parser"}
+JIT_CEILING_OK: set[str] = set()  # empty since r3 (statsd now Arrow-split)
 JIT_LIMIT = 8000
 
 
@@ -78,3 +78,16 @@ def test_codegen_methods_under_jit_ceiling(plans):
         if size > JIT_LIMIT and name not in JIT_CEILING_OK
     }
     assert not bad, f"codegen methods past the 8000-byte JIT ceiling: {bad}"
+
+
+def test_single_arrow_eval_per_query(plans):
+    """Repeated references to the same Arrow UDF must collapse into ONE
+    ArrowEvalPython node (Python boundary crossings are the expensive
+    part — the ipv6 lesson from r2). More than one per plan means a UDF
+    stopped being shared."""
+    bad = {
+        name: plan.count("ArrowEvalPython")
+        for name, (plan, _) in plans.items()
+        if plan.count("ArrowEvalPython") > 1
+    }
+    assert not bad, f"plans with multiple ArrowEvalPython nodes: {bad}"

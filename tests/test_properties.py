@@ -272,6 +272,10 @@ def test_statsd_matches_python_reference(spark):
                 raw_rate = None
             if raw_rate is not None and raw_rate < 0:
                 return {**none, "error": "negative sample rate"}
+            # non-numeric @rate is a parse error (parser.rs sampling
+            # parse failure), not a silent null
+            if raw_rate is None:
+                return {**none, "error": "invalid sample rate"}
         rate_mult = 1.0 if rate_s is None else (
             1.0 / (1.0 if (raw_rate == 0.0) else raw_rate) if raw_rate is not None else None
         )
@@ -289,8 +293,6 @@ def test_statsd_matches_python_reference(spark):
             if v is None:
                 return {**none, "error": "bad value"}
         name = re.sub(r"[^a-zA-Z_\-0-9.]", "", re.sub(r"\s+", "_", (key or "").replace("/", "-")))
-        # unparseable @rate -> null multiplier (no error), like the
-        # Spark try_cast chain
         value = {
             "c": (v * rate_mult) if v is not None and rate_mult is not None else None,
             "ms": v / 1000.0 if v is not None else None,

@@ -86,7 +86,38 @@ STATSD_RX = (
 )
 
 
-def parse_statsd(col: Column) -> dict[str, Column]:
+def _statsd_captures_udf():
+    """Arrow-batched capture extraction for the statsd grammar: one
+    vectorized `Series.str.extract` over the SAME one-regex grammar,
+    returning the five raw captures as a struct.
+
+    Why Python here when grok/syslog stay pure-JVM: the statsd
+    projection (extraction + ~10 shaped outputs) generated an 11 KB
+    whole-stage-codegen method — past HotSpot's 8000-byte JIT ceiling,
+    so the stage ran INTERPRETED at ~50 µs/row (NOTES_r2.md; neither
+    re-packing nor spark.sql.codegen.hugeMethodLimit=8000 got it under
+    ~4.8 s at sf0.1). Moving just the extraction into one Arrow UDF is
+    a codegen barrier: the remaining JVM shaping is small scalar math
+    that JITs, and the measured total dropped ~4x. One UDF invocation
+    per row (Catalyst collapses the repeated references into a single
+    ArrowEvalPython — asserted in tests/test_plan_hygiene.py)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def statsd_captures(s):
+        out = s.str.extract(STATSD_RX)
+        out.columns = ["key", "value", "type", "rate", "tags"]
+        # same ''-capture → NULL normalization as regex_extract_named,
+        # so the two extraction paths are drop-in interchangeable
+        return out.where(out != "", None)
+
+    statsd_captures.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    return pandas_udf("struct<key:string,value:string,type:string,rate:string,tags:string>")(
+        statsd_captures
+    )
+
+
+def parse_statsd(col: Column, jvm_regex: bool = False) -> dict[str, Column]:
     """Parse one statsd/dogstatsd datagram into flat metric columns.
 
     Returns: name, mtype (c|g|ms|h|d|s), kind (incremental|absolute),
@@ -96,17 +127,20 @@ def parse_statsd(col: Column) -> dict[str, Column]:
     set_value (the raw member for 's'), tags_s ('k:v,...' input order),
     tags (map form), error.
 
-    One regex execution per row (regex_extract_named); every output is
-    small scalar math over the five shared captures. The first draft
-    split/packed per component and its generated projection method hit
-    8166 bytecode bytes — past HotSpot's 8000-byte JIT ceiling, so the
-    whole stage ran interpreted, ~6× slower (measured; same failure
-    mode NOTES_r2.md documents for oversized expression trees)."""
-    g = regex_extract_named(
-        col,
-        STATSD_RX,
-        [("key", None), ("value", None), ("type", None), ("rate", None), ("tags", None)],
-    )
+    One regex execution per row; every output is small scalar math over
+    the five shared captures. Default extraction is the Arrow-batched
+    UDF (see _statsd_captures_udf for the JIT-ceiling rationale);
+    `jvm_regex=True` keeps the pure-expression regex_extract_named path
+    (identical semantics, pytest-pinned) for UDF-free contexts."""
+    if jvm_regex:
+        g = regex_extract_named(
+            col,
+            STATSD_RX,
+            [("key", None), ("value", None), ("type", None), ("rate", None), ("tags", None)],
+        )
+    else:
+        cap = _statsd_captures_udf()(col)
+        g = {k: cap[k] for k in ("key", "value", "type", "rate", "tags")}
     key, value_str, mtype = g["key"], g["value"], g["type"]
     rate_str, tags_str = g["rate"], g["tags"]
 
