@@ -366,3 +366,112 @@ partition_by = ["source"]
     bad = toml.replace('partition_by = ["source"]', 'stream_mode = "overwrite_partitions"')
     with pytest.raises(ConfigError):
         compile_config(spark, bad).run()
+
+
+def test_streaming_watermarked_aggregate_toml(spark, tmp_path):
+    """A stateful `aggregate` through the TOML front-end over a
+    streaming source: compiles to a watermarked tumbling window; each
+    finalized window row reaches the parquet sink EXACTLY once, across
+    micro-batches within a run and across incremental availableNow
+    runs (the checkpointed state store carries open windows over)."""
+    from datetime import datetime
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            [(i, s, n, datetime(2026, 1, 1, h, m, sec)) for i, s, n, (h, m, sec) in rows],
+            "id int, source string, n_tok int, ts timestamp",
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+
+    # two events in the [00:00:00, 00:00:10) window for source=app
+    write_file("p1", [(1, "app", 5, (0, 0, 1)), (2, "app", 7, (0, 0, 2))])
+    # one event an hour later: its arrival pushes the watermark far past
+    # the p1 window, which therefore finalizes during this run
+    write_file("p2", [(3, "web", 11, (1, 0, 0))])
+
+    toml = f"""
+[sources.stream]
+type = "stream_parquet"
+path = "{src}/p*"
+schema = "id int, source string, n_tok int, ts timestamp"
+max_files_per_trigger = 1
+
+[transforms.agg]
+type = "aggregate"
+inputs = ["stream"]
+group_by = ["source"]
+interval_ms = 10000
+watermark = "1 second"
+
+[transforms.agg.aggregates]
+n_events = "count:"
+sum_n_tok = "sum:n_tok"
+
+[sinks.out]
+type = "parquet"
+inputs = ["agg"]
+path = "{out}"
+checkpoint = "{ck}"
+"""
+    assert compile_config(spark, toml).run()["out"] == "written"
+    got = {
+        (str(r["window_start"]), r["source"], r["n_events"], r["sum_n_tok"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("2026-01-01 00:00:00", "app", 2, 12)}
+
+    # next incremental run: a still-later file closes the p2 window;
+    # the p1 window must NOT be re-emitted (exactly-once via checkpoint)
+    write_file("p3", [(4, "app", 3, (2, 0, 0))])
+    compile_config(spark, toml).run()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # no duplicate of the app window
+    got = {(str(r["window_start"]), r["source"], r["n_events"]) for r in rows}
+    assert got == {
+        ("2026-01-01 00:00:00", "app", 2),
+        ("2026-01-01 01:00:00", "web", 1),
+    }
+
+
+def test_streaming_dedupe_toml(spark, tmp_path):
+    """A stateful `dedupe` through the TOML front-end: duplicates of a
+    match key arriving within the watermark horizon are dropped, both
+    inside one micro-batch and across micro-batches of the backlog."""
+    from datetime import datetime
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            [(i, k, datetime(2026, 1, 1, 0, 0, s)) for i, k, s in rows],
+            "id int, k string, ts timestamp",
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+
+    write_file("p1", [(1, "a", 1), (2, "a", 2), (3, "b", 3)])  # intra-batch dup of 'a'
+    write_file("p2", [(4, "b", 4), (5, "c", 5)])  # cross-batch dup of 'b'
+
+    toml = f"""
+[sources.stream]
+type = "stream_parquet"
+path = "{src}/p*"
+schema = "id int, k string, ts timestamp"
+max_files_per_trigger = 1
+
+[transforms.uniq]
+type = "dedupe"
+inputs = ["stream"]
+watermark = "1 hour"
+
+[transforms.uniq.fields]
+match = ["k"]
+
+[sinks.out]
+type = "parquet"
+inputs = ["uniq"]
+path = "{out}"
+checkpoint = "{ck}"
+"""
+    compile_config(spark, toml).run()
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == ["a", "b", "c"]

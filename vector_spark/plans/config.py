@@ -48,10 +48,17 @@ def _src_generator(spark, cfg):
 def _src_stream_parquet(spark, cfg):
     """Streaming file source (the `file`/`kafka` plan position:
     readStream over a growing directory; file streams require a
-    declared schema). Downstream narrow transforms work unchanged;
-    sinks run as checkpointed availableNow micro-batches
-    (streaming/sink.py)."""
-    return spark.readStream.schema(cfg["schema"]).parquet(cfg["path"])
+    declared schema). Downstream transforms work unchanged — stateful
+    ones (aggregate/dedupe) compile to their watermarked streaming
+    forms; sinks run as checkpointed availableNow micro-batches
+    (streaming/sink.py). `max_files_per_trigger` splits a backlog into
+    several micro-batches (the watermark advances between batches, so
+    earlier windows finalize as later files arrive — same effect as a
+    live stream)."""
+    reader = spark.readStream.schema(cfg["schema"])
+    if "max_files_per_trigger" in cfg:
+        reader = reader.option("maxFilesPerTrigger", int(cfg["max_files_per_trigger"]))
+    return reader.parquet(cfg["path"])
 
 
 SOURCES = {
@@ -114,11 +121,24 @@ def _t_sample(df, cfg):
 
 
 def _t_dedupe(df, cfg):
+    fields = cfg.get("fields", {})
+    match = fields.get("match", ["timestamp", "host", "message"])
+    if df.isStreaming:
+        # streaming form: Vector's dedupe LRU (dedupe.rs:33-58) becomes
+        # dropDuplicatesWithinWatermark — a time-bounded instead of
+        # count-bounded seen-set, state evicted past the horizon
+        from vector_spark.streaming.pipeline import streaming_dedupe
+
+        return streaming_dedupe(
+            df,
+            tuple(match),
+            watermark=cfg.get("watermark", "30 seconds"),
+            ts_col=cfg.get("ts_col", "ts"),
+        )
     from vector_spark.operators.dedupe import Dedupe
 
-    fields = cfg.get("fields", {})
     return Dedupe(
-        match=fields.get("match", ["timestamp", "host", "message"]),
+        match=match,
         order_by=cfg.get("order_by", "ts"),
         tiebreak=cfg.get("tiebreak"),
     ).apply(df)
@@ -229,6 +249,24 @@ def _t_aggregate(df, cfg):
             "count_distinct": F.countDistinct,
         }
         aggs.append(fns[fn](col).alias(out_name))
+    if df.isStreaming:
+        # streaming form: Vector aggregate's interval_ms flush
+        # (aggregate.rs:18-26,110-143) becomes a watermarked tumbling
+        # window — a window finalizes (and emits exactly once in append
+        # mode) when the watermark passes its end; windows still open
+        # when an availableNow backlog drains stay in the checkpointed
+        # state store and flush on the next run, the micro-batch
+        # analogue of Vector's drain-on-shutdown flush.
+        interval_ms = int(cfg.get("interval_ms", 10_000))
+        watermark = cfg.get("watermark", f"{2 * interval_ms} milliseconds")
+        ts_col = cfg.get("ts_col", "ts")
+        out = (
+            df.withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, f"{interval_ms} milliseconds").alias("__w"), *group)
+            .agg(*aggs)
+        )
+        keep = [c for c in out.columns if c != "__w"]
+        return out.select(F.col("__w.start").alias("window_start"), *keep)
     return df.groupBy(*group).agg(*aggs)
 
 
@@ -621,12 +659,14 @@ class CompiledTopology:
                 checkpoint=cfg.get("checkpoint"),
                 mode=mode,
                 query_name=name,
+                output_mode=cfg.get("output_mode", "append"),
             )
             q.awaitTermination()
             return "written"
         if kind == "memory":
             q = (
                 df.writeStream.format("memory")
+                .outputMode(cfg.get("output_mode", "append"))
                 .queryName(f"__cfg_{name}")
                 .trigger(availableNow=True)
                 .start()

@@ -39,8 +39,17 @@ def stream_to_table(
     mode: str = "append",
     trigger_available_now: bool = True,
     query_name: str = "vector_sink",
+    output_mode: str = "append",
 ):
-    """Start a streaming query writing each micro-batch via `sink`."""
+    """Start a streaming query writing each micro-batch via `sink`.
+
+    `output_mode` is the streaming semantics (what rows reach each
+    micro-batch): "append" emits each finalized row exactly once (the
+    default — for stateful upstream stages like a watermarked aggregate
+    this means a window row arrives only after the watermark closes it);
+    "update" re-emits a changed aggregate row per batch and is only
+    sound against an upsert-capable `sink` (re-appending updates would
+    duplicate keys in a plain parquet sink)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if mode == "append":
@@ -51,7 +60,11 @@ def stream_to_table(
         else:
             sink.write(batch_df, dest, partition_by)
 
-    writer = stream_df.writeStream.foreachBatch(write_batch).queryName(query_name)
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .queryName(query_name)
+    )
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     if trigger_available_now:
