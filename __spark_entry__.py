@@ -2244,6 +2244,86 @@ def q_decontaminate(spark, sf):
     return contamination_flags(docs, bench, n=3, min_hits=2)
 
 
+# ---- shared shingle table: minhash + jaccard + decontaminate --------
+# The three shingle consumers in one job over ONE persisted (id,
+# shingle) table (training/dedup.py shared_shingles) — one corpus
+# scan + one shingle explode instead of three. Output is one summary
+# row per op (count + portable checksum) so the whole fused plan is
+# hash-checked; the full per-op outputs are hash-checked by their own
+# queries above.
+
+
+@_q(
+    "shingle_suite",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS shingle
+      FROM documents),
+    mh AS (
+      SELECT doc_id, min((('0x' || substr(md5('s0' || shingle), 1, 15))::BIGINT)) AS h0
+      FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT round(i / (sa.n + sb.n - i), 4) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i / (sa.n + sb.n - i) >= 0.5),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+    cont AS (
+      SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits
+      FROM sh s JOIN bench b ON s.shingle = b.shingle
+      GROUP BY s.doc_id HAVING count(DISTINCT s.shingle) >= 2)
+    SELECT 'minhash' AS op, count(*) AS n, bit_xor(h0) AS chk FROM mh
+    UNION ALL
+    SELECT 'jaccard' AS op, count(*) AS n,
+           CAST(coalesce(sum(round(jaccard * 10000)), 0) AS BIGINT) AS chk FROM jac
+    UNION ALL
+    SELECT 'decontaminate' AS op, count(*) AS n,
+           CAST(coalesce(sum(n_hits), 0) AS BIGINT) AS chk FROM cont
+    """,
+)
+def q_shingle_suite(spark, sf):
+    from vector_spark.training.dedup import (
+        _release_after_compute,
+        contamination_flags,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shared_shingles,
+    )
+
+    docs = _t(spark, sf, "documents")
+    sh = shared_shingles(docs, n=3)
+    sigs = minhash_signatures(docs, salts=_MINHASH_SALTS, shingle_df=sh)
+    jac = ngram_jaccard_pairs(docs, threshold=0.5, shingle_df=sh)
+    cont = contamination_flags(
+        docs,
+        None,
+        min_hits=2,
+        corpus_shingles=sh,
+        benchmark_shingles=sh.filter(F.col("doc_id") < 5),
+    )
+    mh_row = sigs.agg(
+        F.count(F.lit(1)).alias("n"), F.bit_xor("h0").alias("chk")
+    ).select(F.lit("minhash").alias("op"), "n", "chk")
+    jac_row = jac.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.round(F.col("jaccard") * 10000)), F.lit(0)).cast("long").alias("chk"),
+    ).select(F.lit("jaccard").alias("op"), "n", "chk")
+    cont_row = cont.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("n_hits"), F.lit(0)).cast("long").alias("chk"),
+    ).select(F.lit("decontaminate").alias("op"), "n", "chk")
+    out = mh_row.unionByName(jac_row).unionByName(cont_row)
+    return _release_after_compute(out, sh)
+
+
 # ---- sequence packing (training-tier, tokens axis) ------------------
 # Deterministic sharded next-fit; the oracle replays the identical
 # in-shard sequential sweep with a recursive CTE.

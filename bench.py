@@ -99,6 +99,8 @@ HEADLINE = [
     "dedup_clusters",
     "sequence_packing",
     "decontaminate",
+    "shingle_suite",
+    "decontaminate",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))

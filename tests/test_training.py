@@ -565,3 +565,49 @@ def test_materialize_packs(spark):
     assert got == want
     for r in packs:
         assert r["n_tok"] == len(r["tokens"])
+
+
+def test_shared_shingles_parity(spark):
+    """The shared-shingle-table path (one persisted (id, shingle) scan
+    feeding minhash + jaccard + decontamination) produces byte-equal
+    results to each op's standalone path."""
+    from vector_spark.training.dedup import (
+        contamination_flags,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shared_shingles,
+    )
+
+    docs = _docs(spark)
+    sh = shared_shingles(docs, n=3)
+    try:
+        solo_sigs = sorted(map(tuple, minhash_signatures(docs, n=3).collect()))
+        shared_sigs = sorted(map(tuple, minhash_signatures(docs, shingle_df=sh).collect()))
+        assert solo_sigs == shared_sigs
+
+        solo_jac = sorted(map(tuple, ngram_jaccard_pairs(docs, threshold=0.3).collect()))
+        shared_jac = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, threshold=0.3, shingle_df=sh).collect())
+        )
+        assert solo_jac == shared_jac
+
+        bench = docs.filter(F.col("doc_id") <= 1)
+        solo_cont = sorted(
+            map(tuple, contamination_flags(docs, bench, min_hits=2).collect())
+        )
+        shared_cont = sorted(
+            map(
+                tuple,
+                contamination_flags(
+                    docs,
+                    None,
+                    min_hits=2,
+                    corpus_shingles=sh,
+                    benchmark_shingles=sh.filter(F.col("doc_id") <= 1),
+                ).collect(),
+            )
+        )
+        assert solo_cont == shared_cont
+        assert solo_cont  # docs 1/2/3 overlap: non-empty proof
+    finally:
+        sh.unpersist()

@@ -79,7 +79,12 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = 
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via shingle equi-join.
 
@@ -92,8 +97,16 @@ def ngram_jaccard_pairs(
     to a bucketed table instead of caching. Lifecycle: the returned
     frame releases the cached blocks after its first collect/toPandas/
     count (or explicitly via `.release()`), so a long-lived session
-    calling this repeatedly does not accumulate cached RDDs."""
-    sh = shingles(docs, n, text_col, id_col).persist()
+    calling this repeatedly does not accumulate cached RDDs.
+
+    `shingle_df` supplies a precomputed (id, shingle) table — the
+    shared-scan path when minhash / jaccard / decontamination run over
+    the same corpus in one job (see shared_shingles): the caller owns
+    its lifecycle and the per-call persist/release wrapper is skipped."""
+    if shingle_df is not None:
+        sh = shingle_df
+    else:
+        sh = shingles(docs, n, text_col, id_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -112,7 +125,8 @@ def ngram_jaccard_pairs(
         .filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
-    out = _release_after_compute(out, sh)
+    if shingle_df is None:
+        out = _release_after_compute(out, sh)
     return out
 
 
@@ -122,12 +136,14 @@ def minhash_signatures(
     salts: list[str] = ("s0", "s1", "s2", "s3"),
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: min over shingles of salted md5-hash,
     one column h{i} per permutation. One explode + one groupBy; the
     min() aggregations are map-side combined so the shuffle carries one
-    row per (doc, partial)."""
-    sh = shingles(docs, n, text_col, id_col)
+    row per (doc, partial). `shingle_df` supplies a precomputed shared
+    (id, shingle) table (see shared_shingles)."""
+    sh = shingle_df if shingle_df is not None else shingles(docs, n, text_col, id_col)
     aggs = [
         F.min(md5_long(F.concat(F.lit(s), F.col("shingle")))).alias(f"h{i}")
         for i, s in enumerate(salts)
@@ -273,6 +289,8 @@ def contamination_flags(
     min_hits: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_shingles: DataFrame | None = None,
+    benchmark_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing
     >= `min_hits` distinct n-gram shingles with a benchmark/eval set —
@@ -287,16 +305,41 @@ def contamination_flags(
 
     Returns (id, n_hits) for contaminated docs; anti-join against it to
     scrub (same keep-shape as components.keep_representatives).
-    """
-    corpus_sh = shingles(docs, n, text_col, id_col)
-    bench_sh = (
-        shingles(benchmark, n, text_col, id_col)
-        .select("shingle")
-        .distinct()
+
+    `corpus_shingles` / `benchmark_shingles` supply precomputed
+    (id, shingle) tables for the shared-scan path (shared_shingles)."""
+    corpus_sh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else shingles(docs, n, text_col, id_col)
     )
+    bench_sh = (
+        benchmark_shingles
+        if benchmark_shingles is not None
+        else shingles(benchmark, n, text_col, id_col)
+    ).select("shingle").distinct()
     hits = corpus_sh.join(F.broadcast(bench_sh), "shingle")
     return (
         hits.groupBy(id_col)
         .agg(F.countDistinct("shingle").alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
     )
+
+
+def shared_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One persisted (id, shingle) table serving every shingle consumer
+    in a dedup job — minhash_signatures, ngram_jaccard_pairs and
+    contamination_flags each accept it via their *shingles arguments.
+
+    Shingling is the compute-dense stage of all three (HOF transform +
+    array_distinct + explode over the full text); computing it once and
+    sharing the result turns three corpus scans into one. At 100 TB
+    this is a bucketed table written to storage (bucketBy shingle for
+    the jaccard self-join, or by id for the minhash groupBy) rather
+    than an in-memory persist — same plan position, durable medium.
+
+    Caller owns the lifecycle: `.unpersist()` when the job's consumers
+    have all run."""
+    return shingles(docs, n, text_col, id_col).persist()
