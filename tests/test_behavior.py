@@ -1,11 +1,12 @@
 """Behavior-test suite: the `vector test` analogue.
 
 Each tests/behavior/*.toml mirrors the same-named reference file from
-/root/reference/tests/behavior/transforms/ (20 of 22 mirrored; lua_v1/
-lua_v2 are out of scope — the runtime-transform escape hatch is
-applyInPandasWithState, covered in test_streaming.py). Conditions are
-SQL predicates; nested field paths flatten to underscore columns per
-SURVEY §1.3.
+/root/reference/tests/behavior/transforms/ (22 of 22 mirrored; the
+lua files run through the `lua` escape-hatch transform in its Python
+hook dialect — timer/scheduled hooks are the one unexpressible
+remainder, covered by applyInPandasWithState in test_streaming.py).
+Conditions are SQL predicates; nested field paths flatten to
+underscore columns per SURVEY §1.3.
 """
 
 from __future__ import annotations
@@ -33,6 +34,5 @@ def test_all_reference_files_mirrored():
         pytest.skip("reference checkout not present")
     ref_names = {p.stem for p in ref.glob("*.toml")}
     ours = {p.stem for p in FILES}
-    out_of_scope = {"lua_v1", "lua_v2"}
-    missing = ref_names - ours - out_of_scope
+    missing = ref_names - ours
     assert not missing, f"unmirrored behavior files: {sorted(missing)}"

@@ -445,6 +445,66 @@ def _t_passthrough(df, cfg):
     return df
 
 
+def _t_lua(df, cfg):
+    """Embedded per-event scripting escape hatch — the plan position of
+    the reference's lua v1/v2 runtime transform (src/transforms/lua/
+    v2/mod.rs:45-50, lib/vector-core/src/transform/runtime_transform.rs):
+    arbitrary per-event mutation with 0..N emissions. The hook dialect
+    here is PYTHON (this build has no Lua runtime; the contract — an
+    `event` record the hook mutates, an `emit` callback for explicit /
+    multiple emissions — is the same).
+
+    Two forms, mirroring v1 and v2:
+    - `source` alone: statements run per event with `event` (dict) and
+      `emit` in scope; if `emit` is never called the (mutated) event is
+      emitted once; `event = None` drops it.
+    - `source` + `hooks.process = "fn_name"`: `source` executes ONCE at
+      module scope (v2's setup/source block), then the named function
+      is called per event as fn(event, emit).
+
+    `schema` (DDL string) declares the output columns — the static
+    schema Spark requires where Lua events are dynamically typed.
+    Deliberately row-at-a-time inside Arrow batches: per-event
+    scripting IS the semantic; hot paths belong in remap/SQL, exactly
+    as the reference docs steer users from lua to VRL. Timer/scheduled
+    hooks need applyInPandasWithState (streaming/pipeline.py
+    streaming_reduce_ends_when is the worked example)."""
+    import textwrap
+
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    schema_ddl = cfg["schema"]
+    names = [f.name for f in StructType.fromDDL(schema_ddl).fields]
+    hook_name = (cfg.get("hooks") or {}).get("process")
+    src = textwrap.dedent(cfg["source"]) if "source" in cfg else None
+
+    def run(batches):
+        module_env: dict = {}
+        process = None
+        if hook_name is not None:
+            exec(compile(src or "", "<lua-source>", "exec"), module_env)
+            process = module_env[hook_name]
+        else:
+            code = compile(src, "<lua-hook>", "exec")
+        for pdf in batches:
+            out_rows = []
+            for rec in pdf.to_dict("records"):
+                emitted: list = []
+                if process is not None:
+                    process(rec, emitted.append)
+                else:
+                    env = {**module_env, "event": rec, "emit": emitted.append}
+                    exec(code, env)
+                    if not emitted and env.get("event") is not None:
+                        emitted = [env["event"]]
+                out_rows.extend(emitted)
+            if out_rows:
+                yield pd.DataFrame(out_rows).reindex(columns=names)
+
+    return df.mapInPandas(run, schema_ddl)
+
+
 def _t_add_tags(df, cfg):
     """Metric-tag insert (add_tags.rs): `tags = {k = "v"}`, `overwrite`."""
     from vector_spark.operators.fields import AddTags
@@ -540,6 +600,7 @@ def _t_aws_ec2_metadata(df, cfg):
 
 TRANSFORMS = {
     "passthrough": _t_passthrough,
+    "lua": _t_lua,
     "filter_not_any": _t_filter_not_any,
     "aws_ec2_metadata": _t_aws_ec2_metadata,
     "filter": _t_filter,
