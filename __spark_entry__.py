@@ -2359,6 +2359,32 @@ def q_sequence_packing(spark, sf):
     ).select("doc_id", "pack_id")
 
 
+# ---- packing strategy comparison: next-fit vs first-fit-decreasing --
+# Rows-only (no oracle): FFD's first-open-bin scan over a mutable fill
+# list is not expressible in SQL (the next-fit half IS replayed by
+# sequence_packing's recursive-CTE oracle above). The row pins the
+# fill-efficiency tradeoff: FFD packs the same corpus into fewer,
+# fuller bins at a higher in-shard sweep cost.
+
+
+@_q("pack_fill_compare")
+def q_pack_fill_compare(spark, sf):
+    from vector_spark.training.packing import pack_sequences, pack_stats
+
+    docs = _t(spark, sf, "documents").select("doc_id", F.col("n_chars").alias("n_tok"))
+    rows = []
+    for strat in ("next_fit", "ffd"):
+        st = pack_stats(pack_sequences(docs, max_len=2048, shards=4, strategy=strat), 2048)
+        rows.append(
+            st.agg(
+                F.count(F.lit(1)).alias("n_packs"),
+                F.sum("total_tok").alias("total_tok"),
+                F.round(F.avg("fill"), 4).alias("avg_fill"),
+            ).select(F.lit(strat).alias("strategy"), "n_packs", "total_tok", "avg_fill")
+        )
+    return rows[0].unionByName(rows[1])
+
+
 # ---- RFC 5424 structured-data extraction ----------------------------
 
 

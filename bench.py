@@ -100,6 +100,7 @@ HEADLINE = [
     "sequence_packing",
     "decontaminate",
     "shingle_suite",
+    "pack_fill_compare",
     "decontaminate",
 ]
 
