@@ -809,9 +809,19 @@ def q_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
-# ---- MinHash signatures (portable md5-based permutations) --------------
+# ---- MinHash signatures (portable affine permutations) -----------------
+# One md5 base hash per shingle, k affine permutations over it
+# (h_i = (a_i * (base % P) + b_i) % P, P = 2^31-1): one digest instead
+# of k — the salted-md5 form spent ~75% of its time in the extra
+# digests (training/dedup.py minhash_signatures). Exact int64
+# arithmetic, replayed verbatim by DuckDB (no overflow wrap anywhere).
 
-_MINHASH_SALTS = ["s0", "s1", "s2", "s3"]
+_MINHASH_PERMS = ((1_664_525, 1_013_904_223), (22_695_477, 1), (69_069, 12_345), (1_103_515_245, 12_345))
+_MINHASH_BASE_SQL = "(" + _MD5_LONG_SQL.format(x="shingle") + " % 2147483647)"
+_MINHASH_H_SQL = ", ".join(
+    f"min(({a} * {_MINHASH_BASE_SQL} + {b}) % 2147483647) AS h{i}"
+    for i, (a, b) in enumerate(_MINHASH_PERMS)
+)
 
 
 @_q(
@@ -823,18 +833,13 @@ _MINHASH_SALTS = ["s0", "s1", "s2", "s3"]
     "                string_split(text,' ')[i+1] || ' ' ||\n"
     "                string_split(text,' ')[i+2]))) AS shingle\n"
     "  FROM documents)\n"
-    "SELECT doc_id, "
-    + ", ".join(
-        "min({h}) AS h{i}".format(h=_MD5_LONG_SQL.format(x=f"'{s}' || shingle"), i=i)
-        for i, s in enumerate(_MINHASH_SALTS)
-    )
-    + " FROM shingled GROUP BY doc_id",
+    "SELECT doc_id, " + _MINHASH_H_SQL + " FROM shingled GROUP BY doc_id",
 )
 def q_minhash_signature(spark, sf):
     from vector_spark.training.dedup import minhash_signatures
 
     docs = _t(spark, sf, "documents")
-    return minhash_signatures(docs, n=3, salts=_MINHASH_SALTS)
+    return minhash_signatures(docs, n=3)
 
 
 # ---- SimHash (16-bit, portable) ----------------------------------------
@@ -1166,10 +1171,7 @@ _SIGS_CTE = (
     "                string_split(text,' ')[i+2]))) AS shingle\n"
     "  FROM documents),\n"
     "sigs AS (SELECT doc_id, "
-    + ", ".join(
-        "min({h}) AS h{i}".format(h=_MD5_LONG_SQL.format(x=f"'{s}' || shingle"), i=i)
-        for i, s in enumerate(_MINHASH_SALTS)
-    )
+    + _MINHASH_H_SQL
     + " FROM shingled GROUP BY doc_id)"
 )
 
@@ -1190,7 +1192,7 @@ def q_lsh_candidates(spark, sf):
     from vector_spark.training.dedup import lsh_candidate_pairs, minhash_signatures
 
     docs = _t(spark, sf, "documents")
-    sigs = minhash_signatures(docs, n=3, salts=_MINHASH_SALTS)
+    sigs = minhash_signatures(docs, n=3)
     return lsh_candidate_pairs(sigs, bands=[["h0", "h1"], ["h2", "h3"]])
 
 
@@ -2264,7 +2266,9 @@ def q_decontaminate(spark, sf):
                     string_split(text,' ')[i+2]))) AS shingle
       FROM documents),
     mh AS (
-      SELECT doc_id, min((('0x' || substr(md5('s0' || shingle), 1, 15))::BIGINT)) AS h0
+      SELECT doc_id,
+             min((1664525 * ((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647)
+                  + 1013904223) % 2147483647) AS h0
       FROM sh GROUP BY doc_id),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -2300,7 +2304,7 @@ def q_shingle_suite(spark, sf):
 
     docs = _t(spark, sf, "documents")
     sh = shared_shingles(docs, n=3)
-    sigs = minhash_signatures(docs, salts=_MINHASH_SALTS, shingle_df=sh)
+    sigs = minhash_signatures(docs, shingle_df=sh)
     jac = ngram_jaccard_pairs(docs, threshold=0.5, shingle_df=sh)
     cont = contamination_flags(
         docs,
@@ -2671,7 +2675,7 @@ def q_dedup_clusters(spark, sf):
     from vector_spark.training.dedup import lsh_candidate_pairs, minhash_signatures
 
     docs = _t(spark, sf, "documents")
-    sigs = minhash_signatures(docs, n=3, salts=_MINHASH_SALTS)
+    sigs = minhash_signatures(docs, n=3)
     pairs = lsh_candidate_pairs(sigs, bands=[["h0", "h1"], ["h2", "h3"]])
     return connected_components(pairs, "id_a", "id_b")
 
@@ -2711,7 +2715,7 @@ def q_dedup_keep(spark, sf):
     from vector_spark.training.dedup import lsh_candidate_pairs, minhash_signatures
 
     docs = _t(spark, sf, "documents")
-    sigs = minhash_signatures(docs, n=3, salts=_MINHASH_SALTS)
+    sigs = minhash_signatures(docs, n=3)
     pairs = lsh_candidate_pairs(sigs, bands=[["h0", "h1"], ["h2", "h3"]])
     comp = connected_components(pairs, "id_a", "id_b")
     return keep_representatives(docs, comp).select("doc_id", "source", "n_chars")

@@ -143,10 +143,19 @@ class Gate:
         MAX_TRIES); falls back to best raw sample, flagged, if the VM
         never quiets down. Probes interleave between samples: sample i
         is valid iff the probes immediately before and after it are
-        both within tolerance of the session-best probe."""
+        both within tolerance of the session-best probe.
+
+        Every sample starts COLD: queries that persist() internally
+        (shingle_suite, ngram_jaccard) leave their blocks in the cache
+        manager, and Spark substitutes any matching plan fragment in a
+        LATER sample or query with the cached relation — sample 2 of a
+        suite, or a sibling op sharing a subplan, would silently time a
+        warm read instead of the operator (observed: 2.1 s "cold" suite
+        that was 9.6 s when actually cold)."""
         valid, raw = [], []
         pre_ok = self._clean(self._probe())
         for _ in range(MAX_TRIES):
+            self.spark.catalog.clearCache()
             t0 = time.time()
             fn()
             secs = time.time() - t0

@@ -42,7 +42,7 @@ def main(argv=None) -> int:
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
 
-    sigs = minhash_signatures(docs, n=args.ngram, salts=["s0", "s1", "s2", "s3"])
+    sigs = minhash_signatures(docs, n=args.ngram)  # affine permutations (one digest per shingle)
     pairs = lsh_candidate_pairs(sigs, bands=[["h0", "h1"], ["h2", "h3"]])
     comp = connected_components(pairs, "id_a", "id_b")
     n_pairs = pairs.count()
