@@ -3027,6 +3027,158 @@ def q_ec2_metadata(spark, sf):
     return op.apply(ev.select("event_id", "event_type"))
 
 
+# ---- token-array analytics (training-tier, tokens axis) -------------
+# Portable text->token derivation shared by the token queries: word ->
+# md5-based 60-bit hash mod 50257 (GPT-2 vocab size), replayed verbatim
+# by the DuckDB list_transform below.
+
+_TOK_SQL = (
+    "list_transform(string_split(text,' '), "
+    "t -> (('0x'||substr(md5(t),1,15))::BIGINT % 50257))"
+)
+
+
+def _tok_corpus(spark, sf):
+    from vector_spark.training.tokens import derive_tokens
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", derive_tokens(F.col("text")).alias("tokens"))
+
+
+@_q(
+    "token_freq",
+    f"""
+    WITH toks AS (SELECT unnest({_TOK_SQL}) AS token FROM documents),
+    tot AS (SELECT count(*)::DOUBLE AS total FROM toks),
+    c AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+    SELECT token, n, round(n / (SELECT total FROM tot), 6) AS share
+    FROM c ORDER BY n DESC, token ASC LIMIT 50
+    """,
+)
+def q_token_freq(spark, sf):
+    from vector_spark.training.tokens import token_frequencies
+
+    return token_frequencies(_tok_corpus(spark, sf), k=50)
+
+
+# ---- doc-boundary sliding-window chunking (narrow, no shuffle) -------
+
+
+@_q(
+    "chunk_docs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents),
+    st AS (SELECT doc_id, tk,
+           unnest(range(0, CAST(ceil(greatest(len(tk) - 8, 1) / 24.0) AS BIGINT))) AS ci
+           FROM toks)
+    SELECT doc_id, ci AS chunk_idx, (ci*24) AS tok_start,
+           tk[ci*24+1 : ci*24+32] AS tokens,
+           len(tk[ci*24+1 : ci*24+32]) AS n_tok
+    FROM st
+    """,
+)
+def q_chunk_docs(spark, sf):
+    from vector_spark.training.packing import chunk_documents
+
+    return chunk_documents(_tok_corpus(spark, sf), ctx_len=32, overlap=8)
+
+
+# ---- GPT-style concat-and-chunk stream packing -----------------------
+# The oracle replays the per-shard stream with a window cumsum + zipped
+# unnest (token, ordinal) — every chunk's token list must match
+# element-for-element (token-array equality is the repo invariant).
+
+
+@_q(
+    "concat_chunk",
+    f"""
+    WITH toks AS (SELECT doc_id,
+           (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4) AS shard,
+           {_TOK_SQL} AS tk FROM documents),
+    off AS (SELECT doc_id, shard, tk,
+            sum(len(tk)) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - len(tk) AS o
+            FROM toks),
+    flat AS (SELECT shard, doc_id, o + i - 1 AS gpos, t
+             FROM (SELECT shard, doc_id, o, unnest(tk) AS t,
+                          unnest(range(1, len(tk)+1)) AS i FROM off))
+    SELECT shard*1000000 + gpos // 128 AS chunk_id,
+           list(t ORDER BY gpos) AS tokens,
+           count(*) AS n_tok, count(DISTINCT doc_id) AS n_docs
+    FROM flat GROUP BY 1
+    """,
+)
+def q_concat_chunk(spark, sf):
+    from vector_spark.training.packing import concat_and_chunk, portable_shard
+
+    return concat_and_chunk(
+        _tok_corpus(spark, sf),
+        ctx_len=128,
+        shards=4,
+        shard_key=portable_shard("doc_id", 4),
+    )
+
+
+# ---- Gopher repetition filters (Rae et al. 2021, table A1) -----------
+
+
+@_q(
+    "repetition_scores",
+    """
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+                      string_split(text, chr(10)) AS ls, len(text) AS n_chars
+               FROM documents),
+    lc AS (SELECT doc_id, l, count(*) AS c, len(l) AS ln
+           FROM (SELECT doc_id, unnest(ls) AS l FROM w) GROUP BY doc_id, l),
+    linestats AS (SELECT doc_id,
+        sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS dup_line_frac,
+        CASE WHEN sum(ln*c) = 0 THEN 0.0
+             ELSE sum(CASE WHEN c > 1 THEN ln*c ELSE 0 END)::DOUBLE / sum(ln*c)
+        END AS dup_line_char_frac
+        FROM lc GROUP BY doc_id),
+    g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w
+                 WHERE len(ws) >= 2)),
+    g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+    top2 AS (SELECT doc_id, c * len(g) AS chars,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+             FROM g2c),
+    g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i FROM w
+                 WHERE len(ws) >= 3)),
+    g3c AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+    top3 AS (SELECT doc_id, c * len(g) AS chars,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+             FROM g3c),
+    g5 AS (SELECT doc_id,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                        || ' ' || ws[i+4] AS g
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-3)) AS i FROM w
+                 WHERE len(ws) >= 5)),
+    g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+    d5 AS (SELECT doc_id,
+           CASE WHEN sum(c*len(g)) = 0 THEN 0.0
+                ELSE sum(CASE WHEN c > 1 THEN c*len(g) ELSE 0 END)::DOUBLE / sum(c*len(g))
+           END AS dup5 FROM g5c GROUP BY doc_id)
+    SELECT w.doc_id,
+           round(ls.dup_line_frac, 6) AS dup_line_frac,
+           round(ls.dup_line_char_frac, 6) AS dup_line_char_frac,
+           round(coalesce(t2.chars::DOUBLE / w.n_chars, 0.0), 6) AS top2gram_char_frac,
+           round(coalesce(t3.chars::DOUBLE / w.n_chars, 0.0), 6) AS top3gram_char_frac,
+           round(coalesce(d5.dup5, 0.0), 6) AS dup5gram_frac
+    FROM w
+    JOIN linestats ls ON ls.doc_id = w.doc_id
+    LEFT JOIN (SELECT * FROM top2 WHERE rn = 1) t2 ON t2.doc_id = w.doc_id
+    LEFT JOIN (SELECT * FROM top3 WHERE rn = 1) t3 ON t3.doc_id = w.doc_id
+    LEFT JOIN d5 ON d5.doc_id = w.doc_id
+    """,
+)
+def q_repetition_scores(spark, sf):
+    from vector_spark.training.text import repetition_scores
+
+    return repetition_scores(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -611,3 +611,132 @@ def test_shared_shingles_parity(spark):
         assert solo_cont  # docs 1/2/3 overlap: non-empty proof
     finally:
         sh.unpersist()
+
+
+def test_chunk_documents_invariants(spark):
+    """Sliding-window chunking: windows cover every token, advance by
+    ctx-overlap, never start inside the final overlap; re-concatenating
+    the step-strided pieces reproduces each doc's token stream."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from vector_spark.training.packing import chunk_documents
+
+    rng = random.Random(7)
+    rows = [(i, [rng.randrange(100) for _ in range(rng.choice([1, 3, 15, 16, 17, 40]))])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    ctx, ov, step = 16, 4, 12
+
+    out = chunk_documents(df, ctx_len=ctx, overlap=ov).collect()
+    by_doc = {}
+    for r in out:
+        assert r["tok_start"] == r["chunk_idx"] * step
+        assert r["n_tok"] == len(r["tokens"]) <= ctx
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, toks in rows:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        # expected start count: range(0, max(n-overlap,1), step)
+        exp_starts = list(range(0, max(len(toks) - ov, 1), step))
+        assert [c["tok_start"] for c in chunks] == exp_starts
+        for c in chunks:
+            assert list(c["tokens"]) == toks[c["tok_start"]: c["tok_start"] + ctx]
+        # stream reconstruction from strided pieces
+        rebuilt = list(chunks[0]["tokens"])
+        for c in chunks[1:]:
+            rebuilt.extend(list(c["tokens"])[ov:])
+        assert rebuilt == toks
+
+
+def test_concat_and_chunk_invariants(spark):
+    """Stream packing: per-shard token streams are preserved exactly in
+    id order, every chunk except each shard's tail is full, chunk ids
+    are deterministic across repartitionings."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from vector_spark.training.packing import _SHARD_STRIDE, concat_and_chunk
+
+    rng = random.Random(11)
+    rows = [(f"doc-{i:04d}", [rng.randrange(100) for _ in range(rng.randrange(1, 50))])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    ctx, shards = 64, 4
+
+    out = concat_and_chunk(df, ctx_len=ctx, shards=shards).collect()
+
+    # replay the reference stream per shard in plain Python
+    import pyspark.sql.functions as F
+    shard_of = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(shards)).alias("s")
+        ).collect()
+    }
+    streams = {}
+    for doc_id, toks in sorted(rows):
+        streams.setdefault(shard_of[doc_id], []).extend(toks)
+
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["chunk_id"] // _SHARD_STRIDE, []).append(r)
+    assert set(by_shard) == set(streams)
+    for s, chunks in by_shard.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        flat = [t for c in chunks for t in c["tokens"]]
+        assert flat == streams[s]
+        for c in chunks[:-1]:
+            assert c["n_tok"] == ctx
+        assert 0 < chunks[-1]["n_tok"] <= ctx
+
+    again = concat_and_chunk(df.repartition(17), ctx_len=ctx, shards=shards).collect()
+    a = {(r["chunk_id"], tuple(r["tokens"])) for r in out}
+    b = {(r["chunk_id"], tuple(r["tokens"])) for r in again}
+    assert a == b
+
+
+def test_repetition_scores_crafted(spark):
+    """Gopher repetition metrics on hand-computed documents, including
+    the newline metrics the synthetic corpus never exercises."""
+    from vector_spark.training.text import repetition_scores
+
+    docs = [
+        # 3 lines, 'dup' twice: dup_line_frac=2/3; chars: dup=3*2 of 3+3+5=11
+        (1, "dup\ndup\nxx yy"),
+        # 'a b' bigram twice in 'a b a b c': top2 = 2*len('a b')/9
+        (2, "a b a b c"),
+        # all-distinct words, no repetition
+        (3, "q w e r t y u"),
+        # 5-gram 'a a a a a' repeated in 7 a's: dup5 = all 3 grams dup
+        (4, "a a a a a a a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+
+    r1 = out[1]
+    assert abs(r1["dup_line_frac"] - 2 / 3) < 1e-6
+    assert abs(r1["dup_line_char_frac"] - 6 / 11) < 1e-6
+
+    r2 = out[2]
+    assert abs(r2["top2gram_char_frac"] - 2 * 3 / 9) < 1e-6
+
+    r3 = out[3]
+    assert r3["top2gram_char_frac"] > 0  # every bigram count 1: 1*3/13
+    assert r3["dup5gram_frac"] == 0.0
+
+    r4 = out[4]
+    assert r4["dup5gram_frac"] == 1.0
+    # top2 'a a' occurs 6x, len 3, text len 13
+    assert abs(r4["top2gram_char_frac"] - 6 * 3 / 13) < 1e-6
+
+
+def test_token_frequencies(spark):
+    from vector_spark.training.tokens import token_frequencies
+
+    rows = [(1, [1, 1, 2]), (2, [1, 3]), (3, [2])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = token_frequencies(df, k=2).collect()
+    assert [(r["token"], r["n"]) for r in out] == [(1, 3), (2, 2)]
+    assert abs(out[0]["share"] - 0.5) < 1e-6

@@ -161,3 +161,116 @@ def materialize_packs(
         F.sum(F.size(tokens_col)).alias("n_tok"),
         F.count(F.lit(1)).alias("n_seqs"),
     )
+
+
+def chunk_documents(
+    corpus: DataFrame,
+    ctx_len: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Doc-boundary sliding-window chunking: split each document's token
+    array into windows of `ctx_len` tokens advancing by
+    `ctx_len - overlap` (the BERT/long-doc preprocessing shape; the last
+    window may be short, a window never starts inside the final
+    `overlap` tokens — range(0, max(n - overlap, 1), step) semantics).
+
+    Distributed shape: NARROW — pure posexplode + slice per row, no
+    shuffle anywhere; chunking parallelizes with the scan at any corpus
+    size (contrast pack_sequences, whose bin assignment needs one
+    shuffle). Emits (doc_id, chunk_idx, tok_start, tokens, n_tok).
+    """
+    if overlap >= ctx_len:
+        raise ValueError(f"overlap {overlap} must be < ctx_len {ctx_len}")
+    step = ctx_len - overlap
+    n = F.size(tokens_col)
+    n_starts = F.ceil(F.greatest(n - overlap, F.lit(1)) / F.lit(step)).cast("int")
+    starts = F.sequence(F.lit(0), n_starts - 1)
+    out = corpus.select(
+        F.col(id_col),
+        F.col(tokens_col),
+        F.posexplode(starts).alias("chunk_idx", "__i"),
+    )
+    tok_start = (F.col("chunk_idx") * step).cast("int")
+    chunk = F.slice(F.col(tokens_col), tok_start + 1, ctx_len)
+    return out.select(
+        id_col,
+        F.col("chunk_idx"),
+        tok_start.alias("tok_start"),
+        chunk.alias(tokens_col),
+        F.size(chunk).alias("n_tok"),
+    )
+
+
+def concat_and_chunk(
+    corpus: DataFrame,
+    ctx_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    shards: int = 16,
+    shard_key: Column | None = None,
+) -> DataFrame:
+    """GPT-style stream packing: concatenate documents (deterministic id
+    order within hash shards) into one token stream and cut it at exact
+    `ctx_len` boundaries — every chunk is full except each shard's tail.
+    The complement of pack_sequences (which never splits a document).
+
+    Distributed shape: offsets come from a per-shard cumulative sum
+    (window over the shard — each shard sorts independently, shards are
+    the parallelism knob); each document then computes WHICH chunks it
+    spans and slices its own tokens per chunk (narrow), and one groupBy
+    (shard, chunk) reassembles pieces in stream order. Tokens cross the
+    shuffle exactly once — inherent, reshuffled sequences ARE the
+    output (same argument as materialize_packs). No token-per-row
+    explode: pieces move as arrays.
+
+    Emits (chunk_id, tokens, n_tok, n_docs). chunk_id = shard * stride
+    + in-shard chunk index; deterministic for any cluster layout.
+    """
+    from pyspark.sql import Window
+
+    if shard_key is None:
+        shard_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+    w = Window.partitionBy("__shard").orderBy(id_col)
+    n = F.size(tokens_col)
+    off = (F.sum(n).over(w) - n).alias("__off")
+    staged = corpus.select(
+        F.col(id_col), F.col(tokens_col), shard_key.alias("__shard")
+    ).select("*", off)
+
+    first_c = F.floor(F.col("__off") / ctx_len).cast("long")
+    last_c = F.floor((F.col("__off") + n - 1) / ctx_len).cast("long")
+    spans = staged.where(n > 0).select(
+        "__shard",
+        "__off",
+        F.col(tokens_col),
+        F.explode(F.sequence(first_c, last_c)).alias("__chunk"),
+    )
+    # document-local [s, e) span of this chunk's piece
+    s = F.greatest(F.col("__chunk") * ctx_len - F.col("__off"), F.lit(0)).cast("int")
+    e = F.least(
+        (F.col("__chunk") + 1) * ctx_len - F.col("__off"), F.size(tokens_col)
+    ).cast("int")
+    pieces = spans.select(
+        "__shard",
+        "__chunk",
+        F.col("__off"),
+        F.slice(F.col(tokens_col), s + 1, e - s).alias("__piece"),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__off").alias("o"), F.col("__piece").alias("t")))
+        ),
+        lambda x: x["t"],
+    )
+    return (
+        pieces.groupBy("__shard", "__chunk")
+        .agg(F.flatten(ordered).alias(tokens_col), F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            (F.col("__shard") * _SHARD_STRIDE + F.col("__chunk")).alias("chunk_id"),
+            tokens_col,
+            F.size(tokens_col).alias("n_tok"),
+            "n_docs",
+        )
+    )
