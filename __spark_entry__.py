@@ -3179,6 +3179,87 @@ def q_repetition_scores(spark, sf):
     return repetition_scores(_t(spark, sf, "documents"))
 
 
+# ---- exact substring duplication (Lee et al. 2021 ExactSubstr) -------
+# 20-token windows at sf0.01 (the API default is the paper's 50; the
+# fixture docs average ~54 tokens, so 20 exercises the span merge).
+
+_DUPSPAN_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents),
+    grams AS (SELECT doc_id, i - 1 AS pos,
+              (('0x'||substr(md5(array_to_string(tk[i:i+19],',')),1,15))::BIGINT) AS h
+              FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-20+2)) AS i
+                    FROM toks WHERE len(tk) >= 20)),
+    dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+    hits AS (SELECT doc_id, pos FROM grams SEMI JOIN dup USING (h)),
+    m AS (SELECT doc_id, pos,
+          max(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+          FROM hits),
+    g AS (SELECT doc_id, pos,
+          sum(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),
+    spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end,
+              max(pos) + 20 - min(pos) AS n_dup_tok
+              FROM g GROUP BY doc_id, grp)
+"""
+
+
+@_q(
+    "dup_spans",
+    _DUPSPAN_SQL
+    + """
+    SELECT doc_id, span_start::INT AS span_start, span_end::INT AS span_end,
+           n_dup_tok::INT AS n_dup_tok
+    FROM spans
+    """,
+)
+def q_dup_spans(spark, sf):
+    from vector_spark.training.tokens import duplicated_spans
+
+    return duplicated_spans(_tok_corpus(spark, sf), window=20)
+
+
+@_q(
+    "dup_span_stats",
+    _DUPSPAN_SQL
+    + f"""
+    SELECT t.doc_id, len(t.tk)::INT AS n_tok,
+           coalesce(s.dup, 0)::INT AS dup_tok,
+           round(coalesce(s.dup, 0) / len(t.tk), 6) AS dup_tok_frac
+    FROM toks t
+    LEFT JOIN (SELECT doc_id, sum(n_dup_tok) AS dup FROM spans GROUP BY doc_id) s
+      ON s.doc_id = t.doc_id
+    """,
+)
+def q_dup_span_stats(spark, sf):
+    from vector_spark.training.tokens import dup_span_stats
+
+    return dup_span_stats(_tok_corpus(spark, sf), window=20)
+
+
+# ---- unigram-LM quality score (CCNet / Wenzek et al. 2020 shape) -----
+
+
+@_q(
+    "unigram_nll",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents),
+    freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    tot AS (SELECT sum(n)::DOUBLE AS total FROM freq),
+    lp AS (SELECT token, ln(n / (SELECT total FROM tot)) AS logp FROM freq)
+    SELECT t.doc_id, count(*)::INT AS n_tok,
+           round(-avg(lp.logp), 6) AS avg_nll,
+           round(exp(-avg(lp.logp)), 6) AS ppl
+    FROM toks t JOIN lp ON lp.token = t.token
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_nll(spark, sf):
+    from vector_spark.training.tokens import unigram_logprob
+
+    return unigram_logprob(_tok_corpus(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -101,7 +101,11 @@ HEADLINE = [
     "decontaminate",
     "shingle_suite",
     "pack_fill_compare",
-    "decontaminate",
+    "token_freq",
+    "concat_chunk",
+    "repetition_scores",
+    "dup_spans",
+    "unigram_nll",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))

@@ -29,6 +29,7 @@ CARTESIAN_OK = {
     "ann_topk",        # brute-force exact baseline (broadcast query side)
     "enrich_range",    # BetweenDates range join (broadcast dim, non-equi)
     "token_freq",      # single-row broadcast of the corpus total (share denominator)
+    "unigram_nll",     # single-row broadcast of the corpus total (logprob denominator)
 }
 JIT_CEILING_OK: set[str] = set()  # empty since r3 (statsd now Arrow-split)
 JIT_LIMIT = 8000

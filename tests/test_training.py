@@ -740,3 +740,69 @@ def test_token_frequencies(spark):
     out = token_frequencies(df, k=2).collect()
     assert [(r["token"], r["n"]) for r in out] == [(1, 3), (2, 2)]
     assert abs(out[0]["share"] - 0.5) < 1e-6
+
+
+def test_duplicated_spans_crafted(spark):
+    """ExactSubstr spans on hand-built token arrays: cross-doc dup,
+    within-doc repeat, overlapping-window merge, short docs skipped."""
+    import math
+
+    from vector_spark.training.tokens import dup_span_stats, duplicated_spans
+
+    rows = [
+        # docs 1 and 2 share the run [7,8,9,10] (two overlapping
+        # 3-windows -> one merged span of 4 tokens each)
+        (1, [7, 8, 9, 10, 50, 51, 52]),
+        (2, [60, 61, 7, 8, 9, 10, 62]),
+        # doc 3 repeats [1,2,3] twice internally, separated
+        (3, [1, 2, 3, 40, 41, 42, 1, 2, 3]),
+        # doc 4: all unique, no spans
+        (4, [100, 101, 102, 103]),
+        # doc 5: shorter than the window, excluded entirely
+        (5, [7, 8]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(df, window=3).collect()
+    }
+    assert spans == {(1, 0, 4), (2, 2, 6), (3, 0, 3), (3, 6, 9)}
+
+    stats = {r["doc_id"]: r for r in dup_span_stats(df, window=3).collect()}
+    assert set(stats) == {1, 2, 3, 4, 5}
+    assert stats[1]["dup_tok"] == 4 and math.isclose(stats[1]["dup_tok_frac"], 4 / 7, abs_tol=1e-6)
+    assert stats[3]["dup_tok"] == 6
+    assert stats[4]["dup_tok"] == 0 and stats[4]["dup_tok_frac"] == 0.0
+    assert stats[5]["dup_tok"] == 0
+
+
+def test_duplicated_spans_adjacent_merge(spark):
+    """Adjacent (non-overlapping) duplicated windows merge into one
+    maximal span: [a,a,a,a,a,a] with window 3 is one span of 6."""
+    from vector_spark.training.tokens import duplicated_spans
+
+    rows = [(1, [9, 9, 9, 9, 9, 9]), (2, [9, 9, 9])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(df, window=3).collect()
+    )
+    assert spans == [(1, 0, 6), (2, 0, 3)]
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    from vector_spark.training.tokens import unigram_logprob
+
+    # corpus: token 1 x3, token 2 x2, token 3 x1 -> total 6
+    rows = [(1, [1, 1, 2]), (2, [1, 2, 3])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    p = {1: 3 / 6, 2: 2 / 6, 3: 1 / 6}
+    exp1 = -(math.log(p[1]) * 2 + math.log(p[2])) / 3
+    exp2 = -(math.log(p[1]) + math.log(p[2]) + math.log(p[3])) / 3
+    assert abs(out[1]["avg_nll"] - exp1) < 1e-5
+    assert abs(out[2]["avg_nll"] - exp2) < 1e-5
+    assert out[2]["avg_nll"] > out[1]["avg_nll"]  # rarer tokens -> higher NLL
+    assert abs(out[1]["ppl"] - math.exp(exp1)) < 1e-4

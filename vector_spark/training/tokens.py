@@ -55,3 +55,132 @@ def token_frequencies(
         .crossJoin(F.broadcast(total))
         .select("token", "n", F.round(F.col("n") / F.col("__total"), 6).alias("share"))
     )
+
+
+def duplicated_spans(
+    corpus: DataFrame,
+    window: int = 50,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    hasher=None,
+) -> DataFrame:
+    """Exact substring duplication over token arrays (the ExactSubstr
+    dedup of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better": any `window`-token run that appears more
+    than once corpus-wide is a duplicated span; the paper's default
+    window is 50 tokens).
+
+    The suffix-array construction the paper uses is single-machine; the
+    distributed equivalent is window fingerprints: every doc emits one
+    hash per token position (posexplode over the slice hashes), hashes
+    occurring >1 time corpus-wide mark their source positions, and
+    per-doc overlapping position runs merge into maximal spans with one
+    ordinary interval-union window.
+
+    Distributed shape: two corpus-position-scale shuffles — the
+    fingerprint groupBy (map-side combined to per-partition distinct
+    hashes) and the left_semi join of positions against the duplicated
+    hash set (too big to broadcast at corpus scale, so a shuffle
+    hash-join on the 8-byte key; token bodies never shuffle — only
+    (hash, doc_id, pos) triples). The interval merge windows per doc
+    (small partitions). Matches minhash shingling's cost envelope.
+
+    Hash is the portable md5-based 60-bit digest so the DuckDB oracle
+    replays it bit-for-bit; pass `hasher` (Column -> Column) to swap in
+    xxhash64 in production (same argument as training/dedup.py).
+
+    Emits (doc_id, span_start, span_end, n_dup_tok): token positions
+    are 0-based, span_end exclusive, spans maximal (overlapping or
+    adjacent windows merged).
+    """
+    from pyspark.sql import Window
+
+    if hasher is None:
+        hasher = lambda c: md5_long(c)  # noqa: E731
+    n = F.size(tokens_col)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        ",", F.slice(F.col(tokens_col), i + 1, window).cast("array<string>")
+    )
+    grams = corpus.where(n >= window).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n - window), lambda i: hasher(gram(i)))
+        ).alias("pos", "__h"),
+    )
+    dup = grams.groupBy("__h").count().where(F.col("count") > 1).select("__h")
+    hits = grams.join(dup, "__h", "left_semi")
+
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + window).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_grp = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    grouped = hits.select(
+        id_col, "pos", F.sum(new_grp).over(w_ord).alias("__grp")
+    )
+    return grouped.groupBy(id_col, "__grp").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + window).cast("int").alias("span_end"),
+        (F.max("pos") + window - F.min("pos")).cast("int").alias("n_dup_tok"),
+    ).drop("__grp")
+
+
+def dup_span_stats(
+    corpus: DataFrame,
+    window: int = 50,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    hasher=None,
+) -> DataFrame:
+    """Per-doc duplicated-token fraction from duplicated_spans: every
+    doc with its n_tok, total tokens inside duplicated spans, and the
+    fraction (0.0 for clean docs — a left join back to the corpus, so
+    the output is a per-doc quality column, not a span list)."""
+    spans = duplicated_spans(corpus, window, id_col, tokens_col, hasher)
+    per_doc = spans.groupBy(id_col).agg(F.sum("n_dup_tok").alias("__dup"))
+    return corpus.join(per_doc, id_col, "left").select(
+        id_col,
+        F.size(tokens_col).alias("n_tok"),
+        F.coalesce(F.col("__dup"), F.lit(0)).cast("int").alias("dup_tok"),
+        F.round(
+            F.coalesce(F.col("__dup"), F.lit(0)) / F.size(tokens_col), 6
+        ).alias("dup_tok_frac"),
+    )
+
+
+def unigram_logprob(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-doc mean negative log-likelihood under the corpus's own
+    unigram distribution (the CCNet/Wenzek et al. 2020 shape: language-
+    model perplexity as a quality score, with the corpus unigram table
+    standing in for the LM — docs of rare tokens score high, boilerplate
+    of frequent tokens scores low).
+
+    Distributed shape: one vocabulary-sized groupBy (map-side combined;
+    the shuffle carries <= vocab rows per partition), then the frequency
+    table — at most vocab (~50k) rows regardless of corpus size —
+    BROADCASTS back onto the exploded corpus, so the scoring pass is
+    narrow: no corpus-scale shuffle except the per-doc re-aggregation
+    keyed by doc_id. Token arrays themselves never shuffle.
+
+    Emits (doc_id, n_tok, avg_nll, ppl), rounded to 6 decimals for
+    cross-engine replay.
+    """
+    toks = corpus.select(F.col(id_col), F.explode(tokens_col).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__n"))
+    total = freq.agg(F.sum("__n").alias("__total"))
+    logp = freq.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("__n") / F.col("__total")).alias("__logp")
+    )
+    return (
+        toks.join(F.broadcast(logp), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tok"),
+            F.round(-F.avg("__logp"), 6).alias("avg_nll"),
+            F.round(F.exp(-F.avg("__logp")), 6).alias("ppl"),
+        )
+    )
