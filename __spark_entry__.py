@@ -3260,6 +3260,44 @@ def q_unigram_nll(spark, sf):
     return unigram_logprob(_tok_corpus(spark, sf))
 
 
+# ---- domain-mix temperature resampling (multilingual-LM mixing) ------
+
+_MIX_RATES_SQL = """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT sum(n)::DOUBLE AS tot FROM c),
+    w AS (SELECT lang, n, n / (SELECT tot FROM t) AS share,
+                 pow(n / (SELECT tot FROM t), 0.5) AS w FROM c),
+    s AS (SELECT sum(w) AS sw, min(n / w) AS k FROM w),
+    r AS (SELECT lang, n, round(share, 6) AS share,
+                 round(w / (SELECT sw FROM s), 6) AS target_share,
+                 round(least(1.0, (SELECT k FROM s) * w / n), 6) AS keep_rate
+          FROM w)
+"""
+
+
+@_q("domain_mix_rates", _MIX_RATES_SQL + "SELECT * FROM r")
+def q_domain_mix_rates(spark, sf):
+    from vector_spark.training.mix import domain_mix_rates
+
+    return domain_mix_rates(_t(spark, sf, "documents"), alpha=0.5, source_col="lang")
+
+
+@_q(
+    "domain_mix_sample",
+    _MIX_RATES_SQL
+    + """
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, r.keep_rate
+    FROM documents d JOIN r USING (lang)
+    WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 1000000
+          < round(keep_rate * 1000000)
+    """,
+)
+def q_domain_mix_sample(spark, sf):
+    from vector_spark.training.mix import domain_mix_resample
+
+    return domain_mix_resample(_t(spark, sf, "documents"), alpha=0.5, source_col="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -53,6 +53,9 @@ def main(argv=None) -> int:
     ap.add_argument("--max-top2gram-char-frac", type=float, default=1.0)
     ap.add_argument("--max-dup5gram-frac", type=float, default=1.0)
     ap.add_argument("--min-distinct-ratio", type=float, default=0.0)
+    ap.add_argument("--mix-alpha", type=float, default=None,
+                    help="temperature for domain-mix resampling over the `source` "
+                    "column after dedup (p_i ∝ q_i^α; downsample-only); omit to skip")
     args = ap.parse_args(argv)
 
     from vector_spark.session import get_spark
@@ -117,7 +120,19 @@ def main(argv=None) -> int:
     exact.unpersist()
     stage("fuzzy_dedup", t0, n_fuzzy, dropped=n_exact - n_fuzzy)
 
-    # 4. optional decontamination against a benchmark set.
+    # 4. optional domain-mix temperature resampling (after dedup, the
+    # standard order: duplicates would otherwise distort source shares).
+    if args.mix_alpha is not None:
+        from vector_spark.training.mix import domain_mix_resample
+
+        t0 = time.time()
+        mixed = domain_mix_resample(fuzzy, alpha=args.mix_alpha).drop("keep_rate").persist()
+        n_mixed = mixed.count()
+        fuzzy.unpersist()
+        stage("domain_mix", t0, n_mixed, dropped=n_fuzzy - n_mixed, alpha=args.mix_alpha)
+        fuzzy, n_fuzzy = mixed, n_mixed
+
+    # 5. optional decontamination against a benchmark set.
     clean = fuzzy
     if args.benchmark:
         t0 = time.time()
@@ -130,7 +145,7 @@ def main(argv=None) -> int:
     else:
         n_clean = n_fuzzy
 
-    # 5. tokenize + pack into fixed-length training sequences.
+    # 6. tokenize + pack into fixed-length training sequences.
     t0 = time.time()
     corpus = clean.select(
         F.col("doc_id").cast("string").alias("doc_id"),

@@ -30,6 +30,8 @@ CARTESIAN_OK = {
     "enrich_range",    # BetweenDates range join (broadcast dim, non-equi)
     "token_freq",      # single-row broadcast of the corpus total (share denominator)
     "unigram_nll",     # single-row broadcast of the corpus total (logprob denominator)
+    "domain_mix_rates",   # single-row broadcast reductions over the tiny source-count table
+    "domain_mix_sample",  # same (rates build inside the sample query)
 }
 JIT_CEILING_OK: set[str] = set()  # empty since r3 (statsd now Arrow-split)
 JIT_LIMIT = 8000

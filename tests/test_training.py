@@ -806,3 +806,32 @@ def test_unigram_logprob(spark):
     assert abs(out[2]["avg_nll"] - exp2) < 1e-5
     assert out[2]["avg_nll"] > out[1]["avg_nll"]  # rarer tokens -> higher NLL
     assert abs(out[1]["ppl"] - math.exp(exp1)) < 1e-4
+
+
+def test_domain_mix_rates_and_resample(spark):
+    """Temperature mixing on a hand-computed corpus: counts 8/2/2 at
+    alpha=0.5 give target shares 0.5/0.25/0.25 and keep rates
+    0.5/1.0/1.0 (binding sources keep everything)."""
+    from vector_spark.training.mix import domain_mix_rates, domain_mix_resample
+
+    rows = [(i, "big" if i < 8 else ("s1" if i < 10 else "s2")) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {r["source"]: r for r in domain_mix_rates(df, alpha=0.5).collect()}
+    assert abs(rates["big"]["target_share"] - 0.5) < 1e-6
+    assert abs(rates["s1"]["target_share"] - 0.25) < 1e-6
+    assert abs(rates["big"]["keep_rate"] - 0.5) < 1e-6
+    assert rates["s1"]["keep_rate"] == 1.0 and rates["s2"]["keep_rate"] == 1.0
+
+    kept = domain_mix_resample(df, alpha=0.5).collect()
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    # deterministic: second run identical
+    again = sorted(r["doc_id"] for r in domain_mix_resample(df, alpha=0.5).collect())
+    assert kept_ids == again
+    # binding sources keep every row; thinned source keeps a subset
+    assert {r["doc_id"] for r in kept if r["source"] != "big"} == set(range(8, 12))
+    n_big = sum(1 for r in kept if r["source"] == "big")
+    assert 0 < n_big < 8
+
+    # alpha=1 keeps the natural mix: every keep_rate is 1.0
+    nat = {r["source"]: r["keep_rate"] for r in domain_mix_rates(df, alpha=1.0).collect()}
+    assert set(nat.values()) == {1.0}
