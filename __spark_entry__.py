@@ -3298,6 +3298,73 @@ def q_domain_mix_sample(spark, sf):
     return domain_mix_resample(_t(spark, sf, "documents"), alpha=0.5, source_col="lang")
 
 
+# ---- DSIR importance resampling (Xie et al. 2023) --------------------
+# Hashed-bigram bag log importance weights: target = the lang='en'
+# slice, raw = the whole corpus; 10k buckets, add-one smoothing.
+
+_DSIR_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents),
+    rawf AS (SELECT doc_id,
+             (('0x'||substr(md5(array_to_string(tk[i:i+1],',')),1,15))::BIGINT
+              % 10000) AS bucket
+             FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                   FROM toks WHERE len(tk) >= 2)),
+    tgtf AS (SELECT bucket FROM rawf JOIN documents USING (doc_id)
+             WHERE lang = 'en'),
+    q AS (SELECT bucket, count(*) AS qn FROM rawf GROUP BY bucket),
+    p AS (SELECT bucket, count(*) AS pn FROM tgtf GROUP BY bucket),
+    qt AS (SELECT sum(qn)::DOUBLE AS t FROM q),
+    pt AS (SELECT coalesce(sum(pn), 0)::DOUBLE AS t FROM p),
+    r AS (SELECT q.bucket,
+            ln((coalesce(p.pn, 0) + 1.0) / ((SELECT t FROM pt) + 10000.0))
+          - ln((q.qn + 1.0) / ((SELECT t FROM qt) + 10000.0)) AS log_ratio
+          FROM q LEFT JOIN p USING (bucket)),
+    w AS (SELECT f.doc_id, count(*)::INT AS n_feat,
+                 round(sum(r.log_ratio), 6) AS logw
+          FROM rawf f JOIN r USING (bucket) GROUP BY f.doc_id),
+    wfull AS (SELECT d.doc_id, coalesce(w.n_feat, 0)::INT AS n_feat,
+                     coalesce(w.logw, 0.0) AS logw
+              FROM documents d LEFT JOIN w USING (doc_id))
+"""
+
+
+@_q("dsir_weights", _DSIR_SQL + "SELECT * FROM wfull")
+def q_dsir_weights(spark, sf):
+    from vector_spark.training.dsir import dsir_log_weights
+
+    docs = _t(spark, sf, "documents")
+    from vector_spark.training.tokens import derive_tokens
+
+    raw = docs.select("doc_id", derive_tokens(F.col("text")).alias("tokens"))
+    target = docs.where(F.col("lang") == "en").select(
+        "doc_id", derive_tokens(F.col("text")).alias("tokens")
+    )
+    return dsir_log_weights(raw, target)
+
+
+@_q(
+    "dsir_select",
+    _DSIR_SQL
+    + """
+    SELECT doc_id, logw,
+           round(logw + -ln(-ln(
+             ((('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 1000000)
+              + 0.5) / 1000000.0)), 6) AS key
+    FROM wfull ORDER BY key DESC, doc_id LIMIT 200
+    """,
+)
+def q_dsir_select(spark, sf):
+    from vector_spark.training.dsir import dsir_select
+    from vector_spark.training.tokens import derive_tokens
+
+    docs = _t(spark, sf, "documents")
+    raw = docs.select("doc_id", derive_tokens(F.col("text")).alias("tokens"))
+    target = docs.where(F.col("lang") == "en").select(
+        "doc_id", derive_tokens(F.col("text")).alias("tokens")
+    )
+    return dsir_select(raw, target, n_keep=200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

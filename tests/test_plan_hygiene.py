@@ -32,6 +32,8 @@ CARTESIAN_OK = {
     "unigram_nll",     # single-row broadcast of the corpus total (logprob denominator)
     "domain_mix_rates",   # single-row broadcast reductions over the tiny source-count table
     "domain_mix_sample",  # same (rates build inside the sample query)
+    "dsir_weights",       # two single-row broadcast totals (raw/target feature denominators)
+    "dsir_select",        # same (weights build inside the select query)
 }
 JIT_CEILING_OK: set[str] = set()  # empty since r3 (statsd now Arrow-split)
 JIT_LIMIT = 8000

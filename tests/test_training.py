@@ -835,3 +835,48 @@ def test_domain_mix_rates_and_resample(spark):
     # alpha=1 keeps the natural mix: every keep_rate is 1.0
     nat = {r["source"]: r["keep_rate"] for r in domain_mix_rates(df, alpha=1.0).collect()}
     assert set(nat.values()) == {1.0}
+
+
+def test_dsir_weights_and_select(spark):
+    """DSIR on a crafted corpus: docs made of the target's token pairs
+    must out-score docs of pairs the target never uses; hand-check one
+    weight against the closed-form smoothed log ratio."""
+    import math
+
+    from vector_spark.training.dsir import dsir_log_weights, dsir_select
+
+    # target: bigram (1,2) repeated; raw has matching and clashing docs
+    target = spark.createDataFrame(
+        [(100, [1, 2, 1, 2, 1, 2])], "doc_id long, tokens array<int>"
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, [1, 2, 1, 2]),  # pure target-style bigrams
+            (2, [7, 8, 7, 8]),  # bigrams the target never emits
+            (3, [9]),  # shorter than n=2: no features, neutral 0.0
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    B = 10_000
+    out = {r["doc_id"]: r for r in dsir_log_weights(raw, target, buckets=B).collect()}
+    assert out[1]["logw"] > out[2]["logw"]
+    assert out[3]["n_feat"] == 0 and out[3]["logw"] == 0.0
+
+    # closed form for doc 2 (buckets unseen in target, assuming no
+    # hash collision with target's buckets at B=10k): per-feature
+    # ratio = ln(1/(pt+B)) - ln((q_b+1)/(qt+B)); raw total features
+    # qt = 3 (doc 1) + 3 (doc 2), target total pt = 5; doc 2's two
+    # distinct bigrams (7,8) x2 and (8,7) x1 -> q counts 2 and 1.
+    qt, pt = 6.0, 5.0
+    exp = 2 * (math.log(1 / (pt + B)) - math.log((2 + 1) / (qt + B))) + (
+        math.log(1 / (pt + B)) - math.log((1 + 1) / (qt + B))
+    )
+    assert abs(out[2]["logw"] - exp) < 1e-5
+
+    # selection: deterministic across runs, ranked by gumbel key
+    top = dsir_select(raw, target, n_keep=2)
+    ids = [r["doc_id"] for r in top.collect()]
+    again = [r["doc_id"] for r in dsir_select(raw, target, n_keep=2).collect()]
+    assert ids == again and len(ids) == 2
+    cols = top.columns
+    assert cols == ["doc_id", "logw", "key"]
