@@ -3260,6 +3260,38 @@ def q_unigram_nll(spark, sf):
     return unigram_logprob(_tok_corpus(spark, sf))
 
 
+# ---- interpolated bigram-LM quality score (CCNet perplexity shape) ---
+
+
+@_q(
+    "bigram_nll",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents),
+    pairs AS (SELECT doc_id, tk[i] AS prev, tk[i+1] AS cur
+              FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                    FROM toks WHERE len(tk) >= 2)),
+    uni AS (SELECT unnest(tk) AS token FROM toks),
+    un AS (SELECT token, count(*) AS n FROM uni GROUP BY token),
+    tot AS (SELECT sum(n)::DOUBLE AS t FROM un),
+    big AS (SELECT prev, cur, count(*) AS bn FROM pairs GROUP BY prev, cur)
+    SELECT p.doc_id, count(*)::INT AS n_big,
+           round(-avg(ln(0.75 * b.bn / up.n
+                         + 0.25 * (uc.n / (SELECT t FROM tot)))), 6) AS avg_nll,
+           round(exp(-avg(ln(0.75 * b.bn / up.n
+                             + 0.25 * (uc.n / (SELECT t FROM tot))))), 6) AS ppl
+    FROM pairs p
+    JOIN big b ON b.prev = p.prev AND b.cur = p.cur
+    JOIN un up ON up.token = p.prev
+    JOIN un uc ON uc.token = p.cur
+    GROUP BY p.doc_id
+    """,
+)
+def q_bigram_nll(spark, sf):
+    from vector_spark.training.tokens import bigram_logprob
+
+    return bigram_logprob(_tok_corpus(spark, sf), lam=0.75)
+
+
 # ---- domain-mix temperature resampling (multilingual-LM mixing) ------
 
 _MIX_RATES_SQL = """
@@ -3296,6 +3328,48 @@ def q_domain_mix_sample(spark, sf):
     from vector_spark.training.mix import domain_mix_resample
 
     return domain_mix_resample(_t(spark, sf, "documents"), alpha=0.5, source_col="lang")
+
+
+# ---- SemDeDup semantic dedup (Abbas et al. 2023) ---------------------
+# k=16 md5-seeded cells over the 64-dim embeddings; within-cell pairs
+# only; dup = some smaller-id neighbor with cosine >= 0.35.
+
+
+@_q(
+    "semantic_dedup",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS cvec,
+             row_number() OVER (
+               ORDER BY ('0x'||substr(md5(vec_id::VARCHAR),1,15))::BIGINT,
+                        vec_id) AS rk
+      FROM embeddings QUALIFY rk <= 16),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, c.cell_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.embedding, c.cvec), 4)
+                          DESC,
+                        c.cell_id) AS ark
+      FROM embeddings e CROSS JOIN cents c QUALIFY ark = 1),
+    stats AS (
+      SELECT a.vec_id,
+             max(list_cosine_similarity(a.embedding, b.embedding)) AS mc,
+             max(CASE WHEN b.vec_id < a.vec_id
+                       AND list_cosine_similarity(a.embedding, b.embedding)
+                           >= 0.35 THEN 1 ELSE 0 END) AS dup
+      FROM assigned a JOIN assigned b
+        ON a.cell_id = b.cell_id AND a.vec_id != b.vec_id
+      GROUP BY a.vec_id)
+    SELECT a.vec_id, a.cell_id, round(s.mc, 4) AS max_cos,
+           coalesce(s.dup = 1, false) AS is_dup
+    FROM assigned a LEFT JOIN stats s USING (vec_id)
+    """,
+)
+def q_semantic_dedup(spark, sf):
+    from vector_spark.training.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf, "embeddings"), n_cells=16, threshold=0.35)
 
 
 # ---- DSIR importance resampling (Xie et al. 2023) --------------------

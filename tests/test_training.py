@@ -880,3 +880,64 @@ def test_dsir_weights_and_select(spark):
     assert ids == again and len(ids) == 2
     cols = top.columns
     assert cols == ["doc_id", "logw", "key"]
+
+
+def test_semantic_dedup_crafted(spark):
+    """Two tight direction-clusters plus one orthogonal singleton:
+    within-cluster rows above the threshold mark every member except
+    the smallest id; the singleton keeps a null max_cos."""
+    from vector_spark.training.similarity import semantic_dedup
+
+    def vec(axis, eps, dim=8):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 1) % dim] = eps
+        return v
+
+    rows = [
+        (1, vec(0, 0.0)),
+        (2, vec(0, 0.01)),   # ~1.0 cos vs 1 -> dup of 1
+        (3, vec(0, 0.02)),   # dup of 1/2
+        (10, vec(3, 0.0)),
+        (11, vec(3, 0.015)),  # dup of 10
+        (99, vec(6, 0.0)),    # far from both clusters
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, n_cells=3, threshold=0.95).collect()}
+    assert len(out) == 6
+    # cluster members share a cell; smallest id in each dup group survives
+    assert out[1]["cell_id"] == out[2]["cell_id"] == out[3]["cell_id"]
+    assert not out[1]["is_dup"] and out[2]["is_dup"] and out[3]["is_dup"]
+    assert out[10]["cell_id"] == out[11]["cell_id"]
+    assert not out[10]["is_dup"] and out[11]["is_dup"]
+    # the orthogonal vector must not be marked, whatever cell it lands in
+    assert not out[99]["is_dup"]
+    assert out[2]["max_cos"] is not None and out[2]["max_cos"] > 0.99
+    # deterministic across runs
+    again = {r["vec_id"]: r for r in semantic_dedup(emb, n_cells=3, threshold=0.95).collect()}
+    assert {k: (v["cell_id"], v["is_dup"]) for k, v in out.items()} == {
+        k: (v["cell_id"], v["is_dup"]) for k, v in again.items()
+    }
+
+
+def test_bigram_logprob_closed_form(spark):
+    """Hand-computed interpolated bigram NLL on a 2-doc corpus."""
+    import math
+
+    from vector_spark.training.tokens import bigram_logprob
+
+    rows = [(1, [1, 1, 2]), (2, [1, 2, 3]), (3, [9])]  # doc 3: no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: r for r in bigram_logprob(df, lam=0.75).collect()}
+    # unigrams 1:3 2:2 3:1 9:1 (T=7, doc 3 still counts toward the
+    # unigram model); bigrams (1,1):1 (1,2):2 (2,3):1
+    p11 = 0.75 * 1 / 3 + 0.25 * 3 / 7
+    p12 = 0.75 * 2 / 3 + 0.25 * 2 / 7
+    p23 = 0.75 * 1 / 2 + 0.25 * 1 / 7
+    exp1 = -(math.log(p11) + math.log(p12)) / 2
+    exp2 = -(math.log(p12) + math.log(p23)) / 2
+    assert out[1]["n_big"] == 2 and out[2]["n_big"] == 2
+    assert abs(out[1]["avg_nll"] - exp1) < 1e-5
+    assert abs(out[2]["avg_nll"] - exp2) < 1e-5
+    assert 3 not in out  # no bigram evidence -> no row
+    assert abs(out[2]["ppl"] - math.exp(exp2)) < 1e-4

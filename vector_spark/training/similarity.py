@@ -355,6 +355,111 @@ def ivf_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    into k cells, compare pairs ONLY within a cell, and mark a row as a
+    semantic duplicate when some other same-cell row with a smaller id
+    sits above the cosine threshold (the paper keeps one exemplar per
+    near-dup group; smaller-id-wins is the deterministic tie policy).
+
+    Distributed shape: the quantizer is the n_cells rows with the
+    smallest portable md5 hash of their id (no RNG, replayable by any
+    engine — swap for ivf_centroids_lloyd when cell balance matters
+    more than bit-determinism). Assignment is NARROW: the centroid
+    matrix broadcasts and every row argmaxes in an Arrow batch — no
+    shuffle, mirroring ivf_assign. The only corpus-scale shuffle is the
+    within-cell self-join keyed on cell; per-cell work is quadratic in
+    cell size, which is the SemDeDup contract (n_cells grows with the
+    corpus so cells stay bounded — the paper uses ~10k-100k-row cells).
+
+    Assignment ranks on round(cos, 4) with ties to the smallest cell id
+    so Spark and external engines agree bit-for-bit; pair cosines
+    compare unrounded (same contract as all_pairs_neardup).
+
+    Emits (vec_id, cell_id, max_cos, is_dup): every input row, its
+    cell (labelled by the centroid's id), the max cosine to any
+    same-cell neighbor (null for singleton cells), and the dup flag.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    cents = (
+        emb.select(id_col, vec_col)
+        .orderBy(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            id_col,
+        )
+        .limit(n_cells)
+        .collect()
+    )
+    c_ids = [r[0] for r in cents]
+    c_mat = np.array([r[1] for r in cents], dtype=np.float32)
+    c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1, dtype=np.float64))
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_nrm))
+    id_dtype = [f.dataType.simpleString() for f in emb.schema.fields if f.name == id_col][0]
+    schema = f"{id_col} {id_dtype}, {vec_col} array<float>, cell_id {id_dtype}"
+
+    def assign(batches):
+        ids_c, mat, nrm = bc.value
+        # priority = rank of the centroid's id, so round-4 ties go to
+        # the smallest cell id in ANY engine's replay
+        pri = np.argsort(np.argsort(np.asarray(ids_c, dtype=object)))
+        for pdf in batches:
+            cells = []
+            for v in pdf[vec_col]:
+                va = np.asarray(v, dtype=np.float32)
+                dots = (mat * va).sum(axis=1, dtype=np.float64)
+                cos = np.round(dots / (np.sqrt((va * va).sum(dtype=np.float64)) * nrm), 4)
+                best = np.lexsort((pri, -cos))[0]
+                cells.append(ids_c[best])
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: pdf[vec_col], "cell_id": cells}
+            )
+
+    assigned = emb.repartition(id_col).select(id_col, vec_col).mapInPandas(assign, schema)
+
+    a = assigned.select(
+        F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"), "cell_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"), "cell_id"
+    )
+    pair_cos = cosine(F.col("__va"), F.col("__vb"))
+    stats = (
+        a.join(b, "cell_id")
+        .where(F.col("__ida") != F.col("__idb"))
+        .select(
+            F.col("__ida"),
+            pair_cos.alias("__cos"),
+            (F.col("__idb") < F.col("__ida")).alias("__smaller"),
+        )
+        .groupBy("__ida")
+        .agg(
+            F.max("__cos").alias("__mc"),
+            F.max(
+                F.when(F.col("__smaller") & (F.col("__cos") >= threshold), 1).otherwise(0)
+            ).alias("__dup"),
+        )
+    )
+    return (
+        assigned.join(stats, assigned[id_col] == stats["__ida"], "left")
+        .select(
+            id_col,
+            "cell_id",
+            F.round("__mc", 4).alias("max_cos"),
+            F.coalesce(F.col("__dup") == 1, F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 def lsh_near_pairs(
     emb: DataFrame,
     threshold: float,

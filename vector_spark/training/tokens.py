@@ -148,6 +148,82 @@ def dup_span_stats(
     )
 
 
+def bigram_logprob(
+    corpus: DataFrame,
+    lam: float = 0.75,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-doc mean NLL under a Jelinek-Mercer-interpolated bigram LM
+    trained on the corpus itself: p(t|prev) = λ·c(prev,t)/c(prev) +
+    (1-λ)·c(t)/T. The KenLM-perplexity quality filter of CCNet
+    (Wenzek et al. 2020) with the corpus's own counts standing in for
+    the external LM; one interpolation level (no backoff chain) keeps
+    it closed-form and engine-replayable.
+
+    Distributed shape: the unigram table is vocab-sized and BROADCASTS
+    (as in unigram_logprob). The bigram table is vocab²-BOUNDED but can
+    be large, so the bigram lookup is a plain shuffle hash-join on the
+    (prev, cur) key — Spark/AQE broadcasts it when it turns out small.
+    Token arrays never shuffle; only (doc_id, prev, cur) triples reach
+    the join and the per-doc re-agg. At real scale prune the bigram
+    table to count >= K before the join (rare bigrams then score
+    through the unigram floor) — that cap is the standard KenLM-style
+    memory bound.
+
+    Scores positions 1..n-1 (docs need >= 2 tokens; shorter docs are
+    left out, matching "no bigram evidence"). Emits (doc_id, n_big,
+    avg_nll, ppl) rounded to 6 decimals.
+    """
+    pairs = corpus.where(F.size(tokens_col) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens_col) - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col(tokens_col), i + 1).alias("prev"),
+                    F.element_at(F.col(tokens_col), i + 2).alias("cur"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+
+    uni = corpus.select(F.explode(tokens_col).alias("token")).groupBy("token").agg(
+        F.count(F.lit(1)).alias("un")
+    )
+    tot = uni.agg(F.sum("un").cast("double").alias("__tot"))
+    uni_p = uni.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.col("un").alias("un"),
+        (F.col("un") / F.col("__tot")).alias("up"),
+    )
+    big = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bn"))
+
+    scored = (
+        pairs.join(big, ["prev", "cur"])
+        .join(
+            F.broadcast(uni_p.select(F.col("token").alias("prev"), F.col("un").alias("prev_n"))),
+            "prev",
+        )
+        .join(
+            F.broadcast(uni_p.select(F.col("token").alias("cur"), F.col("up").alias("cur_p"))),
+            "cur",
+        )
+        .select(
+            F.col(id_col),
+            F.log(
+                F.lit(lam) * F.col("bn") / F.col("prev_n")
+                + F.lit(1.0 - lam) * F.col("cur_p")
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_big"),
+        F.round(-F.avg("__lp"), 6).alias("avg_nll"),
+        F.round(F.exp(-F.avg("__lp")), 6).alias("ppl"),
+    )
+
+
 def unigram_logprob(
     corpus: DataFrame,
     id_col: str = "doc_id",
