@@ -56,7 +56,15 @@ def main(argv=None) -> int:
     ap.add_argument("--mix-alpha", type=float, default=None,
                     help="temperature for domain-mix resampling over the `source` "
                     "column after dedup (p_i ∝ q_i^α; downsample-only); omit to skip")
+    ap.add_argument("--dsir-target", default=None,
+                    help="optional target-domain documents parquet: keep the "
+                    "--dsir-keep docs closest to it by DSIR importance weight "
+                    "(hashed-bigram Gumbel-top-k; Xie et al. 2023)")
+    ap.add_argument("--dsir-keep", type=int, default=None,
+                    help="number of docs DSIR selection keeps (required with --dsir-target)")
     args = ap.parse_args(argv)
+    if args.dsir_target and not args.dsir_keep:
+        ap.error("--dsir-target requires --dsir-keep")
 
     from vector_spark.session import get_spark
     from vector_spark.training.components import connected_components, keep_representatives
@@ -80,10 +88,26 @@ def main(argv=None) -> int:
     def stage(name: str, t0: float, rows: int, **extra) -> None:
         stages[name] = {"rows": rows, "secs": round(time.time() - t0, 3), **extra}
 
+    def rows_by_source(df) -> tuple[int, dict | None]:
+        """Per-source lineage in the SAME job as the row count: one
+        map-side-combined groupBy over the (tiny) source domain; the
+        total is its sum, so no second scan."""
+        if "source" not in df.columns:
+            return df.count(), None
+        counts = {r["source"]: r["count"] for r in df.groupBy("source").count().collect()}
+        return sum(counts.values()), {k: counts[k] for k in sorted(counts)}
+
+    def stage_counted(name: str, t0: float, df, prev_rows: int, **extra) -> int:
+        n, by_src = rows_by_source(df)
+        if by_src is not None:
+            extra["by_source"] = by_src
+        stage(name, t0, n, dropped=prev_rows - n, **extra)
+        return n
+
     t0 = time.time()
     docs = spark.read.parquet(args.input)
-    n_in = docs.count()
-    stage("load", t0, n_in)
+    n_in, by_src = rows_by_source(docs)
+    stage("load", t0, n_in, **({"by_source": by_src} if by_src else {}))
 
     # 1. quality filter: narrow feature projection + one Arrow UDF pass,
     # then a plain predicate — pushdown-friendly, zero shuffle.
@@ -100,15 +124,13 @@ def main(argv=None) -> int:
         & (F.col("top2gram_char_frac") <= args.max_top2gram_char_frac)
         & (F.col("dup5gram_frac") <= args.max_dup5gram_frac)
     ).select(*docs.columns).persist()
-    n_quality = kept.count()
-    stage("quality_filter", t0, n_quality, dropped=n_in - n_quality)
+    n_quality = stage_counted("quality_filter", t0, kept, n_in)
 
     # 2. exact dedup: md5 groupBy keeps min-id per distinct text.
     t0 = time.time()
     exact = drop_exact_duplicates(kept).persist()
-    n_exact = exact.count()
+    n_exact = stage_counted("exact_dedup", t0, exact, n_quality)
     kept.unpersist()
-    stage("exact_dedup", t0, n_exact, dropped=n_quality - n_exact)
 
     # 3. fuzzy dedup: MinHash → banded LSH → star-contraction → keep.
     t0 = time.time()
@@ -116,9 +138,8 @@ def main(argv=None) -> int:
     pairs = lsh_candidate_pairs(sigs, bands=[["h0", "h1"], ["h2", "h3"]])
     comp = connected_components(pairs, "id_a", "id_b")
     fuzzy = keep_representatives(exact, comp).persist()
-    n_fuzzy = fuzzy.count()
+    n_fuzzy = stage_counted("fuzzy_dedup", t0, fuzzy, n_exact)
     exact.unpersist()
-    stage("fuzzy_dedup", t0, n_fuzzy, dropped=n_exact - n_fuzzy)
 
     # 4. optional domain-mix temperature resampling (after dedup, the
     # standard order: duplicates would otherwise distort source shares).
@@ -127,25 +148,39 @@ def main(argv=None) -> int:
 
         t0 = time.time()
         mixed = domain_mix_resample(fuzzy, alpha=args.mix_alpha).drop("keep_rate").persist()
-        n_mixed = mixed.count()
+        n_mixed = stage_counted("domain_mix", t0, mixed, n_fuzzy, alpha=args.mix_alpha)
         fuzzy.unpersist()
-        stage("domain_mix", t0, n_mixed, dropped=n_fuzzy - n_mixed, alpha=args.mix_alpha)
         fuzzy, n_fuzzy = mixed, n_mixed
 
-    # 5. optional decontamination against a benchmark set.
+    # 5. optional DSIR selection toward a target domain (Xie et al.
+    # 2023): rank the deduped docs by hashed-bigram importance weight
+    # against --dsir-target and keep the Gumbel-top---dsir-keep set.
+    if args.dsir_target:
+        from vector_spark.training.dsir import dsir_select
+
+        t0 = time.time()
+        target_docs = spark.read.parquet(args.dsir_target)
+        raw_tok = fuzzy.select("doc_id", derive_tokens(F.col("text")).alias("tokens"))
+        tgt_tok = target_docs.select("doc_id", derive_tokens(F.col("text")).alias("tokens"))
+        sel = dsir_select(raw_tok, tgt_tok, n_keep=args.dsir_keep)
+        selected = fuzzy.join(sel.select("doc_id"), "doc_id", "left_semi").persist()
+        n_sel = stage_counted("dsir_select", t0, selected, n_fuzzy, n_keep=args.dsir_keep)
+        fuzzy.unpersist()
+        fuzzy, n_fuzzy = selected, n_sel
+
+    # 6. optional decontamination against a benchmark set.
     clean = fuzzy
     if args.benchmark:
         t0 = time.time()
         bench = spark.read.parquet(args.benchmark)
         flags = contamination_flags(fuzzy, bench)  # (doc_id, n_hits), contaminated rows only
         clean = fuzzy.join(flags.select("doc_id"), "doc_id", "left_anti").persist()
-        n_clean = clean.count()
+        n_clean = stage_counted("decontaminate", t0, clean, n_fuzzy)
         fuzzy.unpersist()
-        stage("decontaminate", t0, n_clean, dropped=n_fuzzy - n_clean)
     else:
         n_clean = n_fuzzy
 
-    # 6. tokenize + pack into fixed-length training sequences.
+    # 7. tokenize + pack into fixed-length training sequences.
     t0 = time.time()
     corpus = clean.select(
         F.col("doc_id").cast("string").alias("doc_id"),

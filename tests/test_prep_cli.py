@@ -75,3 +75,20 @@ def test_run_prep_decontaminate_self_drops_all(spark, capsys):
     # decontaminating a corpus against itself scrubs every doc
     assert stats["stages"]["decontaminate"]["rows"] == 0
     assert stats["sequences_out"] == 0
+
+
+def test_run_prep_dsir_and_source_lineage(spark, tmp_path, capsys):
+    """--dsir-target keeps exactly --dsir-keep docs; every doc-level
+    stage carries per-source lineage that sums to its row count."""
+    tgt = str(tmp_path / "target")
+    spark.read.parquet(INPUT).where("lang = 'en'").write.parquet(tgt)
+    stats = _run(
+        capsys,
+        ["--input", INPUT, "--dsir-target", tgt, "--dsir-keep", "20", "--ctx-len", "64"],
+    )
+    st = stats["stages"]
+    assert st["dsir_select"]["rows"] == 20
+    assert st["dsir_select"]["rows"] <= st["fuzzy_dedup"]["rows"]
+    assert stats["rows_clean"] == 20
+    for s in ("load", "quality_filter", "exact_dedup", "fuzzy_dedup", "dsir_select"):
+        assert sum(st[s]["by_source"].values()) == st[s]["rows"], s

@@ -305,3 +305,29 @@ def test_stream_to_table_overwrite_partitions_opt_in(spark, tmp_path):
     run()
     got = {(r["id"], r["source"]) for r in spark.read.parquet(out).collect()}
     assert got == {(1, "a"), (3, "b"), (4, "c")}
+
+
+def test_streaming_token_frequencies_equals_batch(spark, stream_corpus):
+    """Windowed token counts over the stream must equal the batch
+    explode+groupBy over the same files (micro-batch = repeated batch);
+    state is (window, token)-keyed, vocab-bounded."""
+    from vector_spark.streaming import streaming_token_frequencies
+
+    d, schema, df = stream_corpus
+    stream = spark.readStream.schema(schema).parquet(str(d / "batch*"))
+    _drain(
+        streaming_token_frequencies(stream, interval="1 hour", watermark="2 hours"),
+        "tokfreq_t",
+    )
+    got = {
+        (r["window_start"], r["token"], r["n"])
+        for r in spark.table("tokfreq_t").collect()
+    }
+    want = {
+        tuple(r)
+        for r in df.select(F.date_trunc("hour", "ts").alias("w"), F.explode("tokens").alias("token"))
+        .groupBy("w", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

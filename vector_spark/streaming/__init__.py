@@ -2,6 +2,7 @@ from vector_spark.streaming.pipeline import (
     streaming_aggregate,
     streaming_dedupe,
     streaming_parse_aggregate,
+    streaming_token_frequencies,
 )
 from vector_spark.streaming.sink import stream_to_table
 from vector_spark.streaming.tag_cardinality import streaming_tag_cardinality_limit
@@ -10,6 +11,7 @@ __all__ = [
     "streaming_aggregate",
     "streaming_dedupe",
     "streaming_parse_aggregate",
+    "streaming_token_frequencies",
     "streaming_tag_cardinality_limit",
     "stream_to_table",
 ]

@@ -81,6 +81,34 @@ def streaming_parse_aggregate(
     )
 
 
+def streaming_token_frequencies(
+    events: DataFrame,
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Windowed unigram counts over the token firehose — the streaming
+    twin of training/tokens.token_frequencies: tumbling event-time
+    windows, one count per (window, token).
+
+    State shape at 10^12-sequence scale: the explode is NARROW (runs
+    before the shuffle, map-side combined), so state-store rows per
+    window are bounded by the VOCABULARY (~50k), not the stream rate;
+    the watermark expires whole windows, so total state is
+    vocab × (watermark / interval) rows regardless of how long the
+    stream runs. Late tokens inside the watermark still land in their
+    window."""
+    ex = events.withWatermark(ts_col, watermark).select(
+        F.col(ts_col), F.explode(tokens_col).alias("token")
+    )
+    return (
+        ex.groupBy(F.window(ts_col, interval).alias("w"), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "token", "n")
+    )
+
+
 def streaming_reduce_ends_when(
     events,
     group_col: str = "user_id",
