@@ -3237,6 +3237,47 @@ def q_dup_span_stats(spark, sf):
     return dup_span_stats(_tok_corpus(spark, sf), window=20)
 
 
+@_q(
+    "dup_span_removal",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents),
+    grams AS (SELECT doc_id, i - 1 AS pos,
+              (('0x'||substr(md5(array_to_string(tk[i:i+19],',')),1,15))::BIGINT) AS h
+              FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-20+2)) AS i
+                    FROM toks WHERE len(tk) >= 20)),
+    canon AS (SELECT h, min(struct_pack(d := doc_id, p := pos)) AS c
+              FROM grams GROUP BY h HAVING count(*) > 1),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN canon ON canon.h = g.h
+             WHERE NOT (g.doc_id = canon.c.d AND g.pos = canon.c.p)),
+    m AS (SELECT doc_id, pos,
+          max(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+          FROM hits),
+    grp AS (SELECT doc_id, pos,
+            sum(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM m),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+              FROM grp GROUP BY doc_id, g),
+    posn AS (SELECT doc_id, unnest(tk) AS tok,
+                    unnest(range(len(tk))) AS pos FROM toks),
+    kept AS (SELECT p.doc_id, p.tok, p.pos
+             FROM posn p LEFT JOIN spans sp
+               ON sp.doc_id = p.doc_id AND p.pos >= sp.s AND p.pos < sp.e
+             WHERE sp.doc_id IS NULL),
+    outt AS (SELECT doc_id, list(tok ORDER BY pos) AS tokens
+             FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(o.tokens, []) AS tokens,
+           coalesce(len(o.tokens), 0)::INT AS n_tok,
+           (len(t.tk) - coalesce(len(o.tokens), 0))::INT AS n_removed
+    FROM toks t LEFT JOIN outt o USING (doc_id)
+    """,
+)
+def q_dup_span_removal(spark, sf):
+    from vector_spark.training.tokens import remove_duplicated_spans
+
+    return remove_duplicated_spans(_tok_corpus(spark, sf), window=20)
+
+
 # ---- unigram-LM quality score (CCNet / Wenzek et al. 2020 shape) -----
 
 
@@ -3258,6 +3299,29 @@ def q_unigram_nll(spark, sf):
     from vector_spark.training.tokens import unigram_logprob
 
     return unigram_logprob(_tok_corpus(spark, sf))
+
+
+# ---- per-source vocabulary profile -----------------------------------
+
+
+@_q(
+    "vocab_stats",
+    f"""
+    WITH toks AS (SELECT source, unnest({_TOK_SQL}) AS token FROM documents),
+    v AS (SELECT source, count(DISTINCT token) AS n_vocab, count(*) AS n_tok
+          FROM toks GROUP BY source),
+    d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+    SELECT d.source, d.n_docs, v.n_tok, v.n_vocab,
+           round(v.n_vocab / v.n_tok, 6) AS ttr
+    FROM d JOIN v USING (source)
+    """,
+)
+def q_vocab_stats(spark, sf):
+    from vector_spark.training.tokens import derive_tokens, vocab_stats
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.select("source", derive_tokens(F.col("text")).alias("tokens"))
+    return vocab_stats(corpus)
 
 
 # ---- interpolated bigram-LM quality score (CCNet perplexity shape) ---

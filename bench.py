@@ -105,7 +105,12 @@ HEADLINE = [
     "concat_chunk",
     "repetition_scores",
     "dup_spans",
+    "dup_span_removal",
     "unigram_nll",
+    "bigram_nll",
+    "dsir_select",
+    "semantic_dedup",
+    "domain_mix_sample",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))

@@ -3,10 +3,12 @@
 
 Chains the training tier end-to-end the way a corpus build actually
 runs it — quality filter → exact dedup → fuzzy dedup (MinHash-LSH →
-connected components → keep representatives) → optional benchmark
+connected components → keep representatives) → optional domain-mix
+resampling → optional DSIR target-domain selection → optional benchmark
 decontamination → tokenize → pack into fixed-length training sequences
 → partitioned parquet write — and prints ONE JSON line of per-stage
-lineage (rows in/out, tokens, wall seconds) plus pack fill efficiency.
+lineage (rows in/out, per-source row counts, tokens, wall seconds)
+plus pack fill efficiency.
 
     spark-submit --master local[8] --py-files vector_spark.zip \
         run_prep.py --input /root/testdata/sf0.01/documents.parquet \

@@ -941,3 +941,40 @@ def test_bigram_logprob_closed_form(spark):
     assert abs(out[2]["avg_nll"] - exp2) < 1e-5
     assert 3 not in out  # no bigram evidence -> no row
     assert abs(out[2]["ppl"] - math.exp(exp2)) < 1e-4
+
+
+def test_vocab_stats(spark):
+    from vector_spark.training.tokens import vocab_stats
+
+    rows = [
+        ("a", [1, 1, 2]),
+        ("a", [2, 3]),
+        ("b", [7]),
+    ]
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    out = {r["source"]: r for r in vocab_stats(df).collect()}
+    assert out["a"]["n_docs"] == 2 and out["a"]["n_tok"] == 5 and out["a"]["n_vocab"] == 3
+    assert abs(out["a"]["ttr"] - 3 / 5) < 1e-6
+    assert out["b"]["n_docs"] == 1 and out["b"]["n_vocab"] == 1 and out["b"]["ttr"] == 1.0
+
+
+def test_remove_duplicated_spans_crafted(spark):
+    """ExactSubstr removal: the corpus-first copy of a duplicated run
+    survives; later copies (cross-doc and intra-doc) are excised; short
+    and unique docs are untouched."""
+    from vector_spark.training.tokens import remove_duplicated_spans
+
+    run = list(range(100, 110))  # 10-token run shared by docs 1 and 2
+    rows = [
+        (1, run),                          # canonical copy: untouched
+        (2, [200, 201] + run + [300]),     # loses exactly the run
+        (3, [1, 2, 3]),                    # shorter than the window
+        (4, list(range(50, 58)) * 2),      # intra-doc doubling
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, window=5).collect()}
+    assert out[1]["tokens"] == run and out[1]["n_removed"] == 0
+    assert out[2]["tokens"] == [200, 201, 300] and out[2]["n_removed"] == 10
+    assert out[3]["tokens"] == [1, 2, 3] and out[3]["n_removed"] == 0
+    assert out[4]["tokens"] == list(range(50, 58)) and out[4]["n_removed"] == 8
+    assert all(r["n_tok"] == len(r["tokens"]) for r in out.values())

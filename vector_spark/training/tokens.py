@@ -125,6 +125,104 @@ def duplicated_spans(
     ).drop("__grp")
 
 
+def remove_duplicated_spans(
+    corpus: DataFrame,
+    window: int = 50,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    hasher=None,
+) -> DataFrame:
+    """The ExactSubstr dedup ACTION (Lee et al. 2021 §4.1: delete every
+    duplicated substring, leaving one copy corpus-wide). Rule: a token
+    position is excised when some `window`-gram covering it is
+    duplicated corpus-wide AND that occurrence is not the CANONICAL one
+    (the corpus-first (doc_id, pos) for its hash). The canonical copy
+    survives; later copies — in other docs or later in the same doc —
+    lose exactly the duplicated extent (merged to maximal spans, like
+    duplicated_spans). Mildly more aggressive than the paper at span
+    edges where a surviving copy overlaps another hash's removal zone —
+    same global one-copy guarantee.
+
+    Distributed shape: identical cost envelope to duplicated_spans —
+    per-position fingerprints, one map-side-combined groupBy producing
+    (hash, canonical) via min_by, one shuffle join of positions against
+    it — plus one doc-keyed join of the (tiny) per-doc span list back
+    onto the corpus; the excision itself is a narrow higher-order
+    filter. Token arrays never shuffle.
+
+    Emits (doc_id, tokens, n_tok, n_removed): the cleaned array, its
+    length, and how many tokens were cut (0 for untouched docs).
+    """
+    from pyspark.sql import Window
+
+    if hasher is None:
+        hasher = lambda c: md5_long(c)  # noqa: E731
+    n = F.size(tokens_col)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        ",", F.slice(F.col(tokens_col), i + 1, window).cast("array<string>")
+    )
+    grams = corpus.where(n >= window).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n - window), lambda i: hasher(gram(i)))
+        ).alias("pos", "__h"),
+    )
+    # duplicated hashes with their corpus-first occurrence
+    canon = (
+        grams.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("__c"),
+        )
+        .where(F.col("__n") > 1)
+        .select("__h", "__c")
+    )
+    hits = grams.join(canon, "__h").where(
+        ~((F.col(id_col) == F.col("__c.d")) & (F.col("pos") == F.col("__c.p")))
+    )
+
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + window).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_grp = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    grouped = hits.select(id_col, "pos", F.sum(new_grp).over(w_ord).alias("__grp"))
+    spans = (
+        grouped.groupBy(id_col, "__grp")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + window).alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
+    )
+
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    cleaned = F.filter(
+        F.zip_with(
+            F.col(tokens_col),
+            F.sequence(F.lit(0), F.size(tokens_col) - 1),
+            lambda t, i: F.struct(t.alias("t"), covered(i).alias("cut")),
+        ),
+        lambda x: ~x["cut"],
+    )
+    return (
+        corpus.join(spans, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__spans").isNull(), F.col(tokens_col))
+            .otherwise(F.transform(cleaned, lambda x: x["t"]))
+            .alias("tokens"),
+            F.size(tokens_col).alias("__orig"),
+        )
+        .select(
+            id_col,
+            "tokens",
+            F.size("tokens").cast("int").alias("n_tok"),
+            (F.col("__orig") - F.size("tokens")).cast("int").alias("n_removed"),
+        )
+    )
+
+
 def dup_span_stats(
     corpus: DataFrame,
     window: int = 50,
@@ -145,6 +243,40 @@ def dup_span_stats(
         F.round(
             F.coalesce(F.col("__dup"), F.lit(0)) / F.size(tokens_col), 6
         ).alias("dup_tok_frac"),
+    )
+
+
+def vocab_stats(
+    corpus: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-source vocabulary profile: docs, tokens, distinct tokens and
+    type-token ratio — the corpus-diversity dashboard a mixing decision
+    reads next to domain_mix_rates.
+
+    Distributed shape: explode → groupBy(source, token) is map-side
+    combined, so the shuffle carries at most |sources| × vocab rows;
+    the second groupBy is over that already-tiny table. Exact distinct
+    (not approx_count_distinct) so external engines replay the value
+    bit-for-bit; swap in approx_count_distinct at 10^12 scale if the
+    per-source vocab itself stops fitting the agg — same plan shape.
+
+    Emits (source, n_docs, n_tok, n_vocab, ttr)."""
+    ex = corpus.select(F.col(source_col).alias("source"), F.explode(tokens_col).alias("token"))
+    per_tok = ex.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    vocab = per_tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_vocab"), F.sum("n").alias("n_tok")
+    )
+    docs = corpus.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return docs.join(vocab, "source").select(
+        "source",
+        "n_docs",
+        "n_tok",
+        "n_vocab",
+        F.round(F.col("n_vocab") / F.col("n_tok"), 6).alias("ttr"),
     )
 
 
