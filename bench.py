@@ -111,6 +111,7 @@ HEADLINE = [
     "dsir_select",
     "semantic_dedup",
     "domain_mix_sample",
+    "vocab_stats",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))

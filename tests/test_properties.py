@@ -455,3 +455,37 @@ def test_prometheus_matches_python_reference(spark):
                 assert (math.isnan(w) and math.isnan(g)) or w == g, (r["line"], k, w, g)
             else:
                 assert w == g, (r["line"], k, w, g)
+
+
+def test_remove_duplicated_spans_matches_python(spark):
+    """ExactSubstr removal vs an exact-gram Python reference (dict of
+    gram tuples — collision-free, unlike the 60-bit hash, so it also
+    bounds collision damage): a tiny alphabet forces heavy natural
+    duplication; verbatim doc copies force cross-doc spans."""
+    from vector_spark.training.tokens import remove_duplicated_spans
+
+    rng = _rng()
+    W = 5
+    docs = [(d, [rng.randint(0, 3) for _ in range(rng.randint(0, 30))]) for d in range(40)]
+    docs += [(100 + d, list(toks)) for d, toks in docs[:5]]  # verbatim copies
+    docs.append((200, []))  # empty doc edge
+
+    grams: dict[tuple, list] = {}
+    for d, toks in docs:
+        for q in range(len(toks) - W + 1):
+            grams.setdefault(tuple(toks[q : q + W]), []).append((d, q))
+    rm: dict[int, set] = {d: set() for d, _ in docs}
+    for occ in grams.values():
+        if len(occ) > 1:
+            canon = min(occ)
+            for d, q in occ:
+                if (d, q) != canon:
+                    rm[d].update(range(q, q + W))
+    expected = {d: [t for i, t in enumerate(toks) if i not in rm[d]] for d, toks in docs}
+
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, window=W).collect()}
+    assert set(out) == set(expected)
+    for d, toks in docs:
+        assert out[d]["tokens"] == expected[d], d
+        assert out[d]["n_removed"] == len(toks) - len(expected[d]), d
