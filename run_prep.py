@@ -64,6 +64,10 @@ def main(argv=None) -> int:
                     "(hashed-bigram Gumbel-top-k; Xie et al. 2023)")
     ap.add_argument("--dsir-keep", type=int, default=None,
                     help="number of docs DSIR selection keeps (required with --dsir-target)")
+    ap.add_argument("--exact-substr-window", type=int, default=None,
+                    help="ExactSubstr dedup (Lee et al. 2021) after tokenize: excise "
+                    "every duplicated N-token run, keeping the corpus-first copy; "
+                    "omit to skip")
     args = ap.parse_args(argv)
     if args.dsir_target and not args.dsir_keep:
         ap.error("--dsir-target requires --dsir-keep")
@@ -182,12 +186,32 @@ def main(argv=None) -> int:
     else:
         n_clean = n_fuzzy
 
-    # 7. tokenize + pack into fixed-length training sequences.
+    # 7. tokenize (+ optional ExactSubstr span excision) + pack into
+    # fixed-length training sequences.
     t0 = time.time()
     corpus = clean.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         derive_tokens(F.col("text")).alias("tokens"),
     )
+    if args.exact_substr_window:
+        from vector_spark.training.tokens import remove_duplicated_spans
+
+        t0 = time.time()
+        scrubbed = remove_duplicated_spans(
+            corpus, window=args.exact_substr_window
+        ).persist()
+        removed = scrubbed.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_removed").alias("cut")
+        ).collect()[0]
+        stage(
+            "exact_substr",
+            t0,
+            int(removed["n"]),
+            tokens_removed=int(removed["cut"] or 0),
+            window=args.exact_substr_window,
+        )
+        corpus = scrubbed.select("doc_id", "tokens")
+        t0 = time.time()
     if args.pack_mode == "concat":
         packed = concat_and_chunk(corpus, ctx_len=args.ctx_len, shards=args.shards)
     else:

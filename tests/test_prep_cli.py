@@ -92,3 +92,18 @@ def test_run_prep_dsir_and_source_lineage(spark, tmp_path, capsys):
     assert stats["rows_clean"] == 20
     for s in ("load", "quality_filter", "exact_dedup", "fuzzy_dedup", "dsir_select"):
         assert sum(st[s]["by_source"].values()) == st[s]["rows"], s
+
+
+def test_run_prep_exact_substr_stage(spark, capsys):
+    """--exact-substr-window reports excised tokens and the packed
+    output shrinks by exactly that amount vs the un-scrubbed run."""
+    base = _run(capsys, ["--input", INPUT, "--ctx-len", "64", "--pack-mode", "concat"])
+    scrub = _run(
+        capsys,
+        ["--input", INPUT, "--ctx-len", "64", "--pack-mode", "concat",
+         "--exact-substr-window", "10"],
+    )
+    cut = scrub["stages"]["exact_substr"]["tokens_removed"]
+    assert cut >= 0
+    assert scrub["tokens_out"] == base["tokens_out"] - cut
+    assert scrub["stages"]["exact_substr"]["rows"] == scrub["rows_clean"]
