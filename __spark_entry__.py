@@ -3301,6 +3301,54 @@ def q_unigram_nll(spark, sf):
     return unigram_logprob(_tok_corpus(spark, sf))
 
 
+# ---- deterministic epoch shuffle (loader-side) ------------------------
+
+
+@_q(
+    "epoch_shuffle",
+    """
+    SELECT doc_id,
+           ('0x'||substr(md5('7:' || doc_id::VARCHAR),1,15))::BIGINT AS shuffle_key
+    FROM documents
+    """,
+)
+def q_epoch_shuffle(spark, sf):
+    from vector_spark.training.packing import epoch_shuffle
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return epoch_shuffle(docs, seed=7, id_col="doc_id", partitions=8)
+
+
+# ---- PMI collocations (Church & Hanks 1990) ---------------------------
+
+
+@_q(
+    "pmi_bigrams",
+    f"""
+    WITH toks AS (SELECT {_TOK_SQL} AS tk FROM documents),
+    pairs AS (SELECT tk[i] AS tok_a, tk[i+1] AS tok_b
+              FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                    FROM toks WHERE len(tk) >= 2)),
+    pn AS (SELECT tok_a, tok_b, count(*) AS n_pair FROM pairs GROUP BY 1, 2),
+    uc AS (SELECT token, count(*) AS n
+           FROM (SELECT unnest(tk) AS token FROM toks) GROUP BY token),
+    pt AS (SELECT sum(n_pair)::DOUBLE AS t FROM pn),
+    ut AS (SELECT sum(n)::DOUBLE AS t FROM uc)
+    SELECT p.tok_a, p.tok_b, p.n_pair,
+           round(ln((p.n_pair / (SELECT t FROM pt))
+                    / ((a.n / (SELECT t FROM ut))
+                       * (b.n / (SELECT t FROM ut)))), 6) AS pmi
+    FROM pn p JOIN uc a ON a.token = p.tok_a JOIN uc b ON b.token = p.tok_b
+    WHERE p.n_pair >= 5
+    ORDER BY pmi DESC, tok_a, tok_b LIMIT 100
+    """,
+)
+def q_pmi_bigrams(spark, sf):
+    from vector_spark.training.tokens import pmi_bigrams
+
+    return pmi_bigrams(_tok_corpus(spark, sf), k=100, min_count=5)
+
+
 # ---- per-source vocabulary profile -----------------------------------
 
 

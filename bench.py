@@ -112,6 +112,8 @@ HEADLINE = [
     "semantic_dedup",
     "domain_mix_sample",
     "vocab_stats",
+    "pmi_bigrams",
+    "epoch_shuffle",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))

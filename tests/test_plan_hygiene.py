@@ -35,6 +35,7 @@ CARTESIAN_OK = {
     "dsir_weights",       # two single-row broadcast totals (raw/target feature denominators)
     "dsir_select",        # same (weights build inside the select query)
     "bigram_nll",         # single-row broadcast of the unigram total (interpolation floor)
+    "pmi_bigrams",        # two single-row broadcast totals (pair/unigram denominators)
 }
 JIT_CEILING_OK: set[str] = set()  # empty since r3 (statsd now Arrow-split)
 JIT_LIMIT = 8000

@@ -978,3 +978,56 @@ def test_remove_duplicated_spans_crafted(spark):
     assert out[3]["tokens"] == [1, 2, 3] and out[3]["n_removed"] == 0
     assert out[4]["tokens"] == list(range(50, 58)) and out[4]["n_removed"] == 8
     assert all(r["n_tok"] == len(r["tokens"]) for r in out.values())
+
+
+def test_pmi_bigrams_closed_form(spark):
+    import math
+
+    from vector_spark.training.tokens import pmi_bigrams
+
+    rows = [(1, [1, 2, 1, 2]), (2, [3, 4])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = pmi_bigrams(df, k=10, min_count=2).collect()
+    # pairs: (1,2)x2 (2,1)x1 (3,4)x1 -> only (1,2) clears min_count;
+    # PMI = ln((2/4) / ((2/6)*(2/6))) = ln(4.5)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["tok_a"], r["tok_b"], r["n_pair"]) == (1, 2, 2)
+    assert abs(r["pmi"] - math.log(4.5)) < 1e-5
+
+
+def test_concat_and_chunk_sep_token(spark):
+    """sep_token terminates every doc: token totals grow by n_docs and
+    the reassembled stream has a separator after each document."""
+    from vector_spark.training.packing import concat_and_chunk
+
+    rows = [(f"d{i}", list(range(10 * i, 10 * i + 7))) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = concat_and_chunk(df, ctx_len=16, shards=2, sep_token=-1).collect()
+    total = sum(r["n_tok"] for r in out)
+    assert total == 6 * 7 + 6
+    stream = [t for r in sorted(out, key=lambda r: r["chunk_id"]) for t in r["tokens"]]
+    assert stream.count(-1) == 6
+    # every separator directly follows a document's last token
+    for i, t in enumerate(stream):
+        if t == -1:
+            assert i == 0 or stream[i - 1] % 10 == 6 or stream[i - 1] == -1
+
+
+def test_epoch_shuffle_deterministic_permutation(spark):
+    from vector_spark.training.packing import epoch_shuffle
+
+    rows = [(i, [i]) for i in range(200)]
+    df = spark.createDataFrame(rows, "chunk_id long, tokens array<int>")
+
+    def order(seed):
+        parts = epoch_shuffle(df, seed, partitions=4)
+        return [r["chunk_id"] for r in parts.collect()]
+
+    e1, e1b, e2 = order(1), order(1), order(2)
+    assert e1 == e1b                       # same seed -> identical epoch
+    assert e1 != e2                        # new seed -> new permutation
+    assert sorted(e1) == sorted(e2) == list(range(200))  # always a permutation
+    # collect() preserves partition order; keys must be globally sorted
+    ks = [r["shuffle_key"] for r in epoch_shuffle(df, 1, partitions=4).collect()]
+    assert ks == sorted(ks)

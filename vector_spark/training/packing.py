@@ -210,6 +210,7 @@ def concat_and_chunk(
     tokens_col: str = "tokens",
     shards: int = 16,
     shard_key: Column | None = None,
+    sep_token: int | None = None,
 ) -> DataFrame:
     """GPT-style stream packing: concatenate documents (deterministic id
     order within hash shards) into one token stream and cut it at exact
@@ -227,9 +228,20 @@ def concat_and_chunk(
 
     Emits (chunk_id, tokens, n_tok, n_docs). chunk_id = shard * stride
     + in-shard chunk index; deterministic for any cluster layout.
+
+    `sep_token` (GPT convention) terminates EVERY document — including
+    empty ones — with one separator before packing, so the loader can
+    recover doc boundaries; total output tokens = input tokens + docs.
     """
     from pyspark.sql import Window
 
+    if sep_token is not None:
+        corpus = corpus.select(
+            F.col(id_col),
+            F.concat(F.col(tokens_col), F.array(F.lit(sep_token).cast("int"))).alias(
+                tokens_col
+            ),
+        )
     if shard_key is None:
         shard_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
     w = Window.partitionBy("__shard").orderBy(id_col)
@@ -274,3 +286,29 @@ def concat_and_chunk(
             "n_docs",
         )
     )
+
+
+def epoch_shuffle(
+    packed: DataFrame,
+    seed: int | str,
+    id_col: str = "chunk_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic epoch-level shuffle of training sequences: stamp
+    every row with `shuffle_key` = the portable 60-bit md5 hash of
+    `seed:id`, then range-repartition and sort on it. Reading the
+    output partitions in order IS the shuffled epoch; a different seed
+    is a fresh, reproducible permutation.
+
+    Distributed shape: ONE range-partitioned sort (sampling pass +
+    shuffle) — the distributed way to shuffle 10^12 sequences. Never a
+    global row_number window (single partition) or a driver-side
+    permutation. The hash key is engine-replayable (same md5 contract
+    as training/dedup.py), so loaders in any system agree on the order.
+    """
+    from vector_spark.training.dedup import md5_long
+
+    key = md5_long(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    out = packed.withColumn("shuffle_key", key)
+    n = partitions or packed.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, "shuffle_key").sortWithinPartitions("shuffle_key")

@@ -246,6 +246,64 @@ def dup_span_stats(
     )
 
 
+def pmi_bigrams(
+    corpus: DataFrame,
+    k: int = 100,
+    min_count: int = 5,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Top-k adjacent-pair collocations by pointwise mutual information
+    (Church & Hanks 1990): PMI(a,b) = ln(p(a,b)/(p(a)p(b))) over the
+    corpus's adjacent token pairs — the phrase-mining pass a tokenizer
+    or n-gram-merge step runs before training. `min_count` floors the
+    pair support (unsmoothed PMI otherwise ranks hapax pairs first).
+
+    Distributed shape: both count tables are map-side combined and
+    vocabulary-bounded (pairs by vocab², in practice by observed
+    adjacency); the unigram table BROADCASTS onto the pair table (two
+    tiny joins), the totals are single-row broadcasts, and the top-k is
+    TakeOrderedAndProject. Token arrays never shuffle.
+
+    Emits (tok_a, tok_b, n_pair, pmi) with deterministic (pmi desc,
+    tok_a, tok_b) order, rounded to 6 decimals for cross-engine replay.
+    """
+    pairs = corpus.where(F.size(tokens_col) >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col(tokens_col), 1, F.size(tokens_col) - 1),
+                F.slice(F.col(tokens_col), 2, F.size(tokens_col) - 1),
+                lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    pair_n = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = corpus.select(F.explode(tokens_col).alias("token")).groupBy("token").agg(
+        F.count(F.lit(1)).alias("un")
+    )
+    pair_tot = pair_n.agg(F.sum("n_pair").cast("double").alias("__pt"))
+    uni_tot = uni.agg(F.sum("un").cast("double").alias("__ut"))
+    scored = (
+        pair_n.where(F.col("n_pair") >= min_count)
+        .join(F.broadcast(uni.select(F.col("token").alias("tok_a"), F.col("un").alias("__na"))), "tok_a")
+        .join(F.broadcast(uni.select(F.col("token").alias("tok_b"), F.col("un").alias("__nb"))), "tok_b")
+        .crossJoin(F.broadcast(pair_tot))
+        .crossJoin(F.broadcast(uni_tot))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("__pt"))
+                    / ((F.col("__na") / F.col("__ut")) * (F.col("__nb") / F.col("__ut")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")).limit(k)
+
+
 def vocab_stats(
     corpus: DataFrame,
     source_col: str = "source",
