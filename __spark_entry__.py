@@ -3301,6 +3301,59 @@ def q_unigram_nll(spark, sf):
     return unigram_logprob(_tok_corpus(spark, sf))
 
 
+# ---- deterministic train/val/test split -------------------------------
+
+
+@_q(
+    "split_corpus",
+    """
+    SELECT doc_id, text, lang, source, n_chars,
+           CASE WHEN ('0x'||substr(md5('0:'||doc_id::VARCHAR),1,15))::BIGINT
+                     % 1000000 < 900000 THEN 'train'
+                WHEN ('0x'||substr(md5('0:'||doc_id::VARCHAR),1,15))::BIGINT
+                     % 1000000 < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_split_corpus(spark, sf):
+    from vector_spark.training.mix import split_corpus
+
+    return split_corpus(
+        _t(spark, sf, "documents"), {"train": 0.9, "val": 0.05, "test": 0.05}, seed=0
+    )
+
+
+# ---- per-source KL divergence from the corpus mix ----------------------
+
+
+@_q(
+    "source_kl",
+    f"""
+    WITH toks AS (SELECT source, unnest({_TOK_SQL}) AS token FROM documents),
+    st AS (SELECT source, token, count(*) AS sn FROM toks GROUP BY 1, 2),
+    ct AS (SELECT token, sum(sn) AS cn FROM st GROUP BY token),
+    tt AS (SELECT source, sum(sn) AS st_tot FROM st GROUP BY source),
+    g AS (SELECT sum(cn)::DOUBLE AS ct_tot, count(*)::DOUBLE AS v FROM ct),
+    grid AS (SELECT t.source, t.st_tot, c.token, c.cn, coalesce(s.sn, 0) AS sn
+             FROM tt t CROSS JOIN ct c
+             LEFT JOIN st s ON s.source = t.source AND s.token = c.token)
+    SELECT source, max(st_tot)::BIGINT AS n_tok,
+           round(sum(((sn + 1.0) / (st_tot + (SELECT v FROM g)))
+                     * ln(((sn + 1.0) / (st_tot + (SELECT v FROM g)))
+                          / ((cn + 1.0) / ((SELECT ct_tot FROM g)
+                                           + (SELECT v FROM g))))), 6) AS kl
+    FROM grid GROUP BY source
+    """,
+)
+def q_source_kl(spark, sf):
+    from vector_spark.training.tokens import derive_tokens, source_kl_divergence
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.select("source", derive_tokens(F.col("text")).alias("tokens"))
+    return source_kl_divergence(corpus)
+
+
 # ---- deterministic epoch shuffle (loader-side) ------------------------
 
 

@@ -114,6 +114,8 @@ HEADLINE = [
     "vocab_stats",
     "pmi_bigrams",
     "epoch_shuffle",
+    "split_corpus",
+    "source_kl",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))

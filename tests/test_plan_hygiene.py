@@ -36,6 +36,7 @@ CARTESIAN_OK = {
     "dsir_select",        # same (weights build inside the select query)
     "bigram_nll",         # single-row broadcast of the unigram total (interpolation floor)
     "pmi_bigrams",        # two single-row broadcast totals (pair/unigram denominators)
+    "source_kl",          # sources × vocab smoothing grid (two tiny tables) + single-row total
 }
 JIT_CEILING_OK: set[str] = set()  # empty since r3 (statsd now Arrow-split)
 JIT_LIMIT = 8000

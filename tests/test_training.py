@@ -1031,3 +1031,47 @@ def test_epoch_shuffle_deterministic_permutation(spark):
     # collect() preserves partition order; keys must be globally sorted
     ks = [r["shuffle_key"] for r in epoch_shuffle(df, 1, partitions=4).collect()]
     assert ks == sorted(ks)
+
+
+def test_split_corpus(spark):
+    import pytest
+
+    from vector_spark.training.mix import split_corpus
+
+    rows = [(i,) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    out = split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05  # hash-uniformity
+    # deterministic; a new seed is an independent draw
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3).collect()
+    }
+    c = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=4).collect()
+    }
+    assert a == b and a != c
+    with pytest.raises(ValueError):
+        split_corpus(df, {"train": 0.5, "val": 0.1})
+
+
+def test_source_kl_closed_form(spark):
+    import math
+
+    from vector_spark.training.tokens import source_kl_divergence
+
+    rows = [("a", [1, 1, 2]), ("b", [3, 3, 3])]
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    out = {r["source"]: r for r in source_kl_divergence(df).collect()}
+    # V=3, ct_tot=6; p_c = {1: 3/9, 2: 2/9, 3: 4/9}
+    pc = {1: 3 / 9, 2: 2 / 9, 3: 4 / 9}
+    pa = {1: 3 / 6, 2: 2 / 6, 3: 1 / 6}
+    kl_a = sum(pa[t] * math.log(pa[t] / pc[t]) for t in (1, 2, 3))
+    assert out["a"]["n_tok"] == 3
+    assert abs(out["a"]["kl"] - kl_a) < 1e-5
+    assert out["a"]["kl"] > 0 and out["b"]["kl"] > 0

@@ -62,6 +62,39 @@ def domain_mix_rates(
     )
 
 
+def split_corpus(
+    corpus: DataFrame,
+    weights: dict[str, float],
+    seed: int | str = 0,
+    key_col: str = "doc_id",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: hash `seed:id` into
+    [0, precision) and carve it by cumulative weight — every engine,
+    run, and cluster layout agrees row-for-row, and resplitting with a
+    new seed is an independent draw. Weights must sum to ~1.
+
+    Distributed shape: a pure narrow projection — no shuffle, no RNG
+    state, no sampling pass. Stamps a `split` column.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = F.pmod(
+        md5_long(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))),
+        F.lit(precision),
+    )
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = u < int(round(cum * precision))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return corpus.withColumn("split", expr)
+
+
 def domain_mix_resample(
     corpus: DataFrame,
     alpha: float = 0.5,

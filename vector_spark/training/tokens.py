@@ -246,6 +246,51 @@ def dup_span_stats(
     )
 
 
+def source_kl_divergence(
+    corpus: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    KL(p_source || p_corpus) with add-one smoothing over the corpus
+    vocabulary — the domain-skew dashboard a mixing/temperature decision
+    reads next to domain_mix_rates (a source far from the mix gets
+    up-weighted or investigated).
+
+    Distributed shape: one (source, token) map-side-combined groupBy
+    (≤ |sources| × vocab rows), the corpus marginal derived FROM it by
+    a second tiny groupBy; the KL sum runs over the FULL sources × vocab
+    grid (a cross of two tiny tables — the smoothing terms of tokens a
+    source never emits are part of the divergence) — nothing after the
+    first explode scales with the corpus. V = corpus distinct vocab.
+
+    Emits (source, n_tok, kl), rounded to 6 decimals.
+    """
+    st = (
+        corpus.select(F.col(source_col).alias("source"), F.explode(tokens_col).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("sn"))
+    )
+    ct = st.groupBy("token").agg(F.sum("sn").alias("cn"))
+    totals = st.groupBy("source").agg(F.sum("sn").alias("st_tot"))
+    grand = ct.agg(
+        F.sum("cn").cast("double").alias("__ct_tot"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    grid = totals.crossJoin(F.broadcast(ct)).join(
+        st, ["source", "token"], "left"
+    ).crossJoin(F.broadcast(grand))
+    p_s = (F.coalesce(F.col("sn"), F.lit(0)) + 1.0) / (F.col("st_tot") + F.col("__v"))
+    p_c = (F.col("cn") + 1.0) / (F.col("__ct_tot") + F.col("__v"))
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("st_tot").cast("long").alias("n_tok"),
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl"),
+        )
+    )
+
+
 def pmi_bigrams(
     corpus: DataFrame,
     k: int = 100,
