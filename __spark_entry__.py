@@ -3324,6 +3324,28 @@ def q_split_corpus(spark, sf):
     )
 
 
+# ---- per-source length distribution ------------------------------------
+
+
+@_q(
+    "length_stats",
+    f"""
+    WITH n AS (SELECT source, len({_TOK_SQL})::DOUBLE AS nt FROM documents)
+    SELECT source, count(*) AS n_docs, round(avg(nt), 6) AS mean_tok,
+           round(quantile_cont(nt, 0.5), 6) AS p50,
+           round(quantile_cont(nt, 0.9), 6) AS p90,
+           round(quantile_cont(nt, 0.99), 6) AS p99
+    FROM n GROUP BY source
+    """,
+)
+def q_length_stats(spark, sf):
+    from vector_spark.training.tokens import derive_tokens, length_stats
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.select("source", derive_tokens(F.col("text")).alias("tokens"))
+    return length_stats(corpus)
+
+
 # ---- per-source KL divergence from the corpus mix ----------------------
 
 

@@ -116,6 +116,7 @@ HEADLINE = [
     "epoch_shuffle",
     "split_corpus",
     "source_kl",
+    "length_stats",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))

@@ -1075,3 +1075,15 @@ def test_source_kl_closed_form(spark):
     assert out["a"]["n_tok"] == 3
     assert abs(out["a"]["kl"] - kl_a) < 1e-5
     assert out["a"]["kl"] > 0 and out["b"]["kl"] > 0
+
+
+def test_length_stats_closed_form(spark):
+    from vector_spark.training.tokens import length_stats
+
+    rows = [("a", [0] * n) for n in (10, 20, 30, 40)] + [("b", [0] * 5)]
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    out = {r["source"]: r for r in length_stats(df).collect()}
+    assert out["a"]["n_docs"] == 4 and out["a"]["mean_tok"] == 25.0
+    assert out["a"]["p50"] == 25.0          # interpolated between 20 and 30
+    assert abs(out["a"]["p90"] - 37.0) < 1e-6
+    assert out["b"]["p50"] == out["b"]["p99"] == 5.0

@@ -246,6 +246,37 @@ def dup_span_stats(
     )
 
 
+def length_stats(
+    corpus: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-source sequence-length distribution (docs, mean, p50/p90/p99
+    of n_tok) — the packing/ctx-len sizing dashboard.
+
+    Exact `percentile` here so DuckDB replays the value bit-for-bit
+    (both engines linear-interpolate); it buffers each group's values,
+    fine while per-source doc counts fit an executor. At 10^12 rows
+    swap `approx_percentile` (t-digest sketch, mergeable, same plan
+    shape) — the one-line scale switch, same contract as vocab_stats'
+    exact-distinct note.
+
+    Emits (source, n_docs, mean_tok, p50, p90, p99) rounded to 6.
+    """
+    n = F.size(tokens_col).cast("double")
+    return (
+        corpus.select(F.col(source_col).alias("source"), n.alias("__n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__n"), 6).alias("mean_tok"),
+            F.round(F.expr("percentile(__n, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(__n, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(__n, 0.99)"), 6).alias("p99"),
+        )
+    )
+
+
 def source_kl_divergence(
     corpus: DataFrame,
     source_col: str = "source",
