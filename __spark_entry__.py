@@ -3609,8 +3609,8 @@ def q_dsir_weights(spark, sf):
     + """
     SELECT doc_id, logw,
            round(logw + -ln(-ln(
-             ((('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 1000000)
-              + 0.5) / 1000000.0)), 6) AS key
+             ((('0x'||substr(md5('gumbel:' || doc_id::VARCHAR),1,15))::BIGINT
+               % 1000000) + 0.5) / 1000000.0)), 6) AS key
     FROM wfull ORDER BY key DESC, doc_id LIMIT 200
     """,
 )

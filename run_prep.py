@@ -101,7 +101,11 @@ def main(argv=None) -> int:
         if "source" not in df.columns:
             return df.count(), None
         counts = {r["source"]: r["count"] for r in df.groupBy("source").count().collect()}
-        return sum(counts.values()), {k: counts[k] for k in sorted(counts)}
+        # a NULL source is legal input — key it as "null" (its JSON form)
+        order = sorted(counts, key=lambda k: (k is None, k))
+        return sum(counts.values()), {
+            (k if k is not None else "null"): counts[k] for k in order
+        }
 
     def stage_counted(name: str, t0: float, df, prev_rows: int, **extra) -> int:
         n, by_src = rows_by_source(df)
@@ -210,6 +214,7 @@ def main(argv=None) -> int:
             tokens_removed=int(removed["cut"] or 0),
             window=args.exact_substr_window,
         )
+        clean.unpersist()  # scrubbed is materialized; keep one live stage cached
         corpus = scrubbed.select("doc_id", "tokens")
         t0 = time.time()
     if args.pack_mode == "concat":

@@ -1087,3 +1087,23 @@ def test_length_stats_closed_form(spark):
     assert out["a"]["p50"] == 25.0          # interpolated between 20 and 30
     assert abs(out["a"]["p90"] - 37.0) < 1e-6
     assert out["b"]["p50"] == out["b"]["p99"] == 5.0
+
+
+def test_gumbel_key_independent_of_mix_hash(spark):
+    """The DSIR Gumbel noise must be independent of the domain-mix keep
+    hash: mix survivors (low unsalted md5 u) must not have capped keys,
+    or composing --mix-alpha with --dsir-target would silently exclude
+    thinned sources. With equal logw, survivors should fill ~half of
+    the selection top-half; the unsalted bug put ~none there."""
+    from vector_spark.training.dedup import md5_long
+    from vector_spark.training.dsir import gumbel_key
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("doc_id"))
+    rows = df.select(
+        F.pmod(md5_long(F.col("doc_id")), F.lit(1_000_000)).alias("mix_u"),
+        gumbel_key(F.lit(0.0), F.col("doc_id")).alias("key"),
+    ).collect()
+    ranked = sorted(rows, key=lambda r: -r["key"])
+    top_half = ranked[: len(ranked) // 2]
+    frac_survivors = sum(r["mix_u"] < 500_000 for r in top_half) / len(top_half)
+    assert 0.35 < frac_survivors < 0.65, frac_survivors

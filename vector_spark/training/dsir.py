@@ -142,14 +142,22 @@ def dsir_log_weights(
 
 
 def gumbel_key(logw: Column, id_col: Column, precision: int = 1_000_000) -> Column:
-    """Deterministic Gumbel perturbation: u = (md5(id) % P + 0.5) / P
-    (strictly inside (0,1)), g = -ln(-ln(u)); the sampling key is
-    logw + g. Sorting by this key without replacement IS Gumbel-top-k
-    sampling from the softmax of the log weights (Vieira 2014) — the
-    paper's \"sample w/o replacement from the importance weights\"
-    realized as a plain ORDER BY any engine replays."""
+    """Deterministic Gumbel perturbation: u = (md5('gumbel:'+id) % P
+    + 0.5) / P (strictly inside (0,1)), g = -ln(-ln(u)); the sampling
+    key is logw + g. Sorting by this key without replacement IS
+    Gumbel-top-k sampling from the softmax of the log weights (Vieira
+    2014) — the paper's \"sample w/o replacement from the importance
+    weights\" realized as a plain ORDER BY any engine replays.
+
+    The hash is SALTED with 'gumbel:' so it is independent of every
+    other keyed decision in the repo — domain_mix_resample thins on the
+    UNsalted md5(id) % P, and feeding its survivors (all u below their
+    source's keep threshold) into an unsalted Gumbel would cap their
+    noise and systematically exclude thinned sources from selection
+    regardless of importance weight."""
     u = (
-        F.pmod(md5_long(id_col.cast("string")), F.lit(precision)) + F.lit(0.5)
+        F.pmod(md5_long(F.concat(F.lit("gumbel:"), id_col.cast("string"))), F.lit(precision))
+        + F.lit(0.5)
     ) / F.lit(float(precision))
     return logw + -F.log(-F.log(u))
 

@@ -236,11 +236,11 @@ def concat_and_chunk(
     from pyspark.sql import Window
 
     if sep_token is not None:
-        corpus = corpus.select(
-            F.col(id_col),
-            F.concat(F.col(tokens_col), F.array(F.lit(sep_token).cast("int"))).alias(
-                tokens_col
-            ),
+        # withColumn, not a narrowing select: a custom shard_key may
+        # reference other corpus columns
+        corpus = corpus.withColumn(
+            tokens_col,
+            F.concat(F.col(tokens_col), F.array(F.lit(sep_token).cast("int"))),
         )
     if shard_key is None:
         shard_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))

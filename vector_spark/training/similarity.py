@@ -389,14 +389,12 @@ def semantic_dedup(
     """
     import numpy as np
 
+    from vector_spark.training.dedup import md5_long
+
     spark = emb.sparkSession
     cents = (
         emb.select(id_col, vec_col)
-        .orderBy(
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-            .cast("long"),
-            id_col,
-        )
+        .orderBy(md5_long(F.col(id_col).cast("string")), id_col)
         .limit(n_cells)
         .collect()
     )
@@ -424,7 +422,14 @@ def semantic_dedup(
                 {id_col: pdf[id_col], vec_col: pdf[vec_col], "cell_id": cells}
             )
 
-    assigned = emb.repartition(id_col).select(id_col, vec_col).mapInPandas(assign, schema)
+    # the assignment feeds THREE plan branches (self-join sides a and b
+    # plus the left-join probe); mapInPandas sits above the exchange, so
+    # without a persist the full scan + Arrow argmax would run 3x.
+    # Caller-released: the cache belongs to this query's lifetime (same
+    # convention as shared_shingles).
+    assigned = (
+        emb.repartition(id_col).select(id_col, vec_col).mapInPandas(assign, schema).persist()
+    )
 
     a = assigned.select(
         F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"), "cell_id"

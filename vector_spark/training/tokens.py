@@ -427,6 +427,13 @@ def bigram_logprob(
     the external LM; one interpolation level (no backoff chain) keeps
     it closed-form and engine-replayable.
 
+    Estimator note: c(prev) is the UNIGRAM count of prev, not its
+    bigram-context count, so the conditional is deliberately deficient
+    (sums to < 1 when prev also ends a document) — the standard
+    stupid-backoff-style shortcut; consistent across the oracle and
+    tests, and a monotone re-ranking of docs only where doc-final
+    tokens are involved.
+
     Distributed shape: the unigram table is vocab-sized and BROADCASTS
     (as in unigram_logprob). The bigram table is vocab²-BOUNDED but can
     be large, so the bigram lookup is a plain shuffle hash-join on the
