@@ -89,3 +89,29 @@ def test_parse_stays_jvm_side(spark, corpus_path):
     plan = _explain(parse_stage(df).drop("tokens", "message"))
     assert "codegen id" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_analytics_prune_document_scan(spark):
+    """Every tokens-axis document query must scan ONLY the columns it
+    uses — at 100 TB the documents table is dominated by text/tokens,
+    and an accidental full-width ReadSchema is the classic silent
+    regression. vocab_stats needs (source, text); token_freq,
+    pmi_bigrams and dup_spans need (text[, doc_id]) and must NOT read
+    lang/n_chars."""
+    import __spark_entry__ as e
+
+    for name, banned in {
+        "vocab_stats": ("lang", "n_chars", "doc_id"),
+        "token_freq": ("lang", "n_chars", "source", "doc_id"),
+        "pmi_bigrams": ("lang", "n_chars", "source", "doc_id"),
+        "dup_spans": ("lang", "n_chars", "source"),
+        "length_stats": ("lang", "n_chars", "doc_id"),
+        "source_kl": ("lang", "n_chars", "doc_id"),
+    }.items():
+        df = e.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert scans, f"{name}: no file scan found"
+        for line in scans:
+            for col in banned:
+                assert col not in line, f"{name} scan reads pruned column {col}: {line}"
