@@ -107,3 +107,20 @@ def test_run_prep_exact_substr_stage(spark, capsys):
     assert cut >= 0
     assert scrub["tokens_out"] == base["tokens_out"] - cut
     assert scrub["stages"]["exact_substr"]["rows"] == scrub["rows_clean"]
+
+
+def test_run_prep_mix_then_dsir_composition(spark, tmp_path, capsys):
+    """--mix-alpha and --dsir-target compose: DSIR selects from the mix
+    survivors and thinned sources remain selectable (the unsalted-
+    Gumbel bug would have excluded them systematically)."""
+    tgt = str(tmp_path / "target")
+    spark.read.parquet(INPUT).where("lang = 'en'").write.parquet(tgt)
+    stats = _run(
+        capsys,
+        ["--input", INPUT, "--mix-alpha", "0.5", "--dsir-target", tgt,
+         "--dsir-keep", "15", "--ctx-len", "64"],
+    )
+    st = stats["stages"]
+    assert st["dsir_select"]["rows"] == 15 <= st["domain_mix"]["rows"]
+    # selection drew from more than one source (independence smoke)
+    assert len(st["dsir_select"]["by_source"]) >= 2
