@@ -31,16 +31,43 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=None, help="deduped output dir (omit for stats-only)")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--ngram", type=int, default=3)
+    ap.add_argument("--ledger", default=None,
+                    help="seen-hash ledger dir for INCREMENTAL ingestion: docs whose "
+                    "exact-text hash is already in the ledger are dropped before "
+                    "dedup, and this run's survivors are appended — re-running on "
+                    "overlapping input batches is idempotent")
     args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
 
     from vector_spark.session import get_spark
     from vector_spark.training.components import connected_components, keep_representatives
-    from vector_spark.training.dedup import lsh_candidate_pairs, minhash_signatures
+    from vector_spark.training.dedup import lsh_candidate_pairs, md5_long, minhash_signatures
 
     spark = get_spark("vector_spark.dedup", cpus=args.cpus)
     t0 = time.time()
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
+
+    # incremental mode: subtract everything a previous run already kept.
+    # The ledger holds only 8-byte hashes — at 10^12 docs it is a few TB
+    # of pure keys, and the subtraction is one shuffle hash-join (or a
+    # broadcast while it still fits); no text ever re-reads.
+    n_ledger_dropped = 0
+    ledger_df = None
+    if args.ledger:
+        import os
+
+        docs = docs.withColumn("__h", md5_long(F.col("text")))
+        if os.path.isdir(args.ledger) and any(
+            f.endswith(".parquet") for f in os.listdir(args.ledger)
+        ):
+            ledger_df = spark.read.parquet(args.ledger).select("h").distinct()
+            docs = docs.join(
+                ledger_df, docs["__h"] == ledger_df["h"], "left_anti"
+            ).persist()
+            n_after = docs.count()
+            n_ledger_dropped = n_in - n_after
 
     sigs = minhash_signatures(docs, n=args.ngram)  # affine permutations (one digest per shingle)
     pairs = lsh_candidate_pairs(sigs, bands=[["h0", "h1"], ["h2", "h3"]])
@@ -49,21 +76,33 @@ def main(argv=None) -> int:
     clusters = comp.groupBy("component").count()
     n_clusters = clusters.count()
 
-    kept = keep_representatives(docs, comp)
+    kept = keep_representatives(docs.drop("__h"), comp)
     if args.out:
         kept.write.mode("overwrite").parquet(args.out)
-        n_kept = spark.read.parquet(args.out).count()
+        kept = spark.read.parquet(args.out)
     else:
-        n_kept = kept.count()
+        kept = kept.persist()
+    n_kept = kept.count()
+
+    if args.ledger:
+        # record every doc this run SAW (not just survivors): a near-dup
+        # that lost to a kept representative must not resurface when the
+        # same batch is re-ingested. Only hashes the ledger does not
+        # already hold are appended, so re-runs are no-ops (idempotent).
+        new_h = docs.select(F.col("__h").alias("h")).distinct()
+        if ledger_df is not None:
+            new_h = new_h.join(ledger_df, "h", "left_anti")
+        new_h.write.mode("append").parquet(args.ledger)
 
     print(
         json.dumps(
             {
                 "rows_in": n_in,
+                "ledger_dropped": n_ledger_dropped,
                 "candidate_pairs": n_pairs,
                 "clusters": n_clusters,
                 "rows_kept": n_kept,
-                "rows_removed": n_in - n_kept,
+                "rows_removed": n_in - n_kept - n_ledger_dropped,
                 "wall_secs": round(time.time() - t0, 3),
             }
         )

@@ -124,3 +124,31 @@ def test_run_prep_mix_then_dsir_composition(spark, tmp_path, capsys):
     assert st["dsir_select"]["rows"] == 15 <= st["domain_mix"]["rows"]
     # selection drew from more than one source (independence smoke)
     assert len(st["dsir_select"]["by_source"]) >= 2
+
+
+def test_run_dedup_ledger_incremental(spark, tmp_path, capsys):
+    """Two runs over the same input with a shared ledger: the second
+    run drops every doc at the ledger gate (idempotent ingestion), and
+    the ledger itself holds no duplicate hashes afterwards."""
+    import run_dedup
+
+    ledger = str(tmp_path / "ledger")
+
+    def run():
+        rc = run_dedup.main(["--input", INPUT, "--ledger", ledger])
+        assert rc == 0
+        import json as _json
+
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    first = run()
+    assert first["ledger_dropped"] == 0 and first["rows_kept"] > 0
+    second = run()
+    # every doc of the re-ingested batch is already SEEN -> all dropped
+    # at the gate, nothing re-kept, nothing appended twice
+    assert second["ledger_dropped"] == second["rows_in"]
+    assert second["rows_kept"] == 0 and second["candidate_pairs"] == 0
+    hashes = spark.read.parquet(ledger)
+    n_h = hashes.count()
+    assert n_h == hashes.distinct().count()  # idempotent append
+    assert first["rows_kept"] <= n_h <= first["rows_in"]  # distinct texts seen
