@@ -331,3 +331,64 @@ def test_streaming_token_frequencies_equals_batch(spark, stream_corpus):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_socket_source_parses_lines(spark):
+    """Vector `socket` source parity on loopback: a TCP server feeds
+    newline-framed syslog-ish lines; the Spark socket source must
+    deliver each line as one event, parsed by the shared codec layer."""
+    import socket
+    import threading
+    import time as _time
+
+    lines = [f"<{8 + i % 3}>app{i}: message number {i}" for i in range(20)]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        srv.settimeout(60)
+        try:
+            conn, _ = srv.accept()
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            stop.wait(60)  # hold the connection open while Spark reads
+            conn.close()
+        except OSError:
+            pass
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        from vector_spark.streaming.sources import socket_text_source
+
+        stream = socket_text_source(spark, "127.0.0.1", port)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("sock_t")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                if spark.table("sock_t").count() >= len(lines):
+                    break
+                _time.sleep(0.5)
+            got = [r["value"] for r in spark.table("sock_t").collect()]
+            assert sorted(got) == sorted(lines)
+            # the shared codec layer applies downstream as on any stream
+            import pyspark.sql.functions as F
+
+            pri = F.regexp_extract("value", r"^<(\d+)>", 1).cast("int")
+            sev = {r["value"]: r["s"] for r in
+                   spark.table("sock_t").select("value", F.pmod(pri, F.lit(8)).alias("s")).collect()}
+            assert sev[lines[0]] == 0 and sev[lines[1]] == 1
+        finally:
+            q.stop()
+    finally:
+        stop.set()
+        srv.close()

@@ -5,6 +5,7 @@ from vector_spark.streaming.pipeline import (
     streaming_token_frequencies,
 )
 from vector_spark.streaming.sink import stream_to_table
+from vector_spark.streaming.sources import socket_text_source
 from vector_spark.streaming.tag_cardinality import streaming_tag_cardinality_limit
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "streaming_token_frequencies",
     "streaming_tag_cardinality_limit",
     "stream_to_table",
+    "socket_text_source",
 ]
