@@ -392,3 +392,61 @@ def test_socket_source_parses_lines(spark):
     finally:
         stop.set()
         srv.close()
+
+
+def test_socket_sink_delivers_lines(spark, tmp_path):
+    """Vector `socket` sink parity on loopback: an availableNow file
+    stream leaves as newline-framed TCP lines, one executor-side
+    connection per partition, nothing collected to the driver."""
+    import socket
+    import threading
+
+    received: list[str] = []
+    done = threading.Event()
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(16)
+    port = srv.getsockname()[1]
+    lock = threading.Lock()
+
+    def serve():
+        srv.settimeout(60)
+        try:
+            while not done.is_set():
+                conn, _ = srv.accept()
+                buf = b""
+                while chunk := conn.recv(65536):
+                    buf += chunk
+                conn.close()
+                with lock:
+                    received.extend(buf.decode().splitlines())
+        except OSError:
+            pass
+
+    threading.Thread(target=serve, daemon=True).start()
+    try:
+        src = tmp_path / "src"
+        lines = [f"event-{i}" for i in range(50)]
+        df = spark.createDataFrame([(l,) for l in lines], "value string")
+        df.repartition(4).write.mode("overwrite").parquet(str(src))
+
+        from vector_spark.streaming.sink import stream_to_socket
+
+        stream = spark.readStream.schema("value string").parquet(str(src))
+        q = stream_to_socket(stream, "127.0.0.1", port, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        import time as _time
+
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            with lock:
+                if len(received) >= len(lines):
+                    break
+            _time.sleep(0.3)
+        with lock:
+            assert sorted(received) == sorted(lines)
+    finally:
+        done.set()
+        srv.close()

@@ -70,3 +70,47 @@ def stream_to_table(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_to_socket(
+    stream_df: DataFrame,
+    host: str,
+    port: int,
+    checkpoint: str,
+    value_col: str = "value",
+    trigger_available_now: bool = True,
+):
+    """Vector `socket` sink (/root/reference/src/sinks/socket.rs):
+    events leave as newline-framed lines over TCP.
+
+    Distributed shape: foreachBatch → foreachPartition — every
+    partition opens its own executor-side connection (the analogue of
+    the reference sink's connection handling), so no row ever collects
+    to the driver. Delivery is at-least-once (raw TCP carries no acks;
+    a retried batch re-sends), exactly the reference socket sink's
+    contract. Encode the event into `value_col` upstream with the
+    shared codec layer.
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        def send(rows) -> None:
+            import socket as pysocket
+
+            conn = None
+            try:
+                for row in rows:
+                    if conn is None:  # connect lazily: empty partitions stay silent
+                        conn = pysocket.create_connection((host, port), timeout=30)
+                    conn.sendall((row[0] + "\n").encode())
+            finally:
+                if conn is not None:
+                    conn.close()
+
+        df.select(value_col).foreachPartition(send)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
