@@ -450,3 +450,52 @@ def test_socket_sink_delivers_lines(spark, tmp_path):
     finally:
         done.set()
         srv.close()
+
+
+def test_http_spool_source_end_to_end(spark, tmp_path):
+    """Vector http/logplex server-source parity via the landing-zone
+    pattern: POST newline-framed logplex bodies at a live listener,
+    drain the spool with an availableNow file stream, decode with the
+    shared logplex codec — every line arrives exactly once, parsed."""
+    import urllib.request
+
+    from vector_spark.streaming.http_spool import HttpSpoolServer, http_spool_stream
+
+    spool = str(tmp_path / "spool")
+    srv = HttpSpoolServer(spool).start()
+    try:
+        bodies = [
+            "83 <40>1 2012-11-30T06:45:29+00:00 host app web.1 - State changed\n"
+            "83 <40>1 2012-11-30T06:45:30+00:00 host app web.2 - State changed",
+            "83 <40>1 2012-11-30T06:45:31+00:00 host app web.3 - Process exited",
+        ]
+        for b in bodies:
+            req = urllib.request.Request(
+                f"http://{srv.host}:{srv.port}/events", data=b.encode(), method="POST"
+            )
+            assert urllib.request.urlopen(req, timeout=30).status == 200
+
+        stream = http_spool_stream(spark, spool)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("spool_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("spool_t").collect()
+        assert len(rows) == 3  # one event per newline-framed line
+
+        import pyspark.sql.functions as F
+
+        from vector_spark.functions.parse import parse_logplex
+
+        parsed = spark.table("spool_t").select(
+            *[c.alias(n) for n, c in parse_logplex(F.col("value")).items()]
+        )
+        procs = sorted(r["proc_id"] for r in parsed.collect())
+        assert procs == ["web.1", "web.2", "web.3"]
+    finally:
+        srv.stop()

@@ -5,6 +5,7 @@ from vector_spark.streaming.pipeline import (
     streaming_token_frequencies,
 )
 from vector_spark.streaming.sink import stream_to_socket, stream_to_table
+from vector_spark.streaming.http_spool import HttpSpoolServer, http_spool_stream
 from vector_spark.streaming.sources import socket_text_source
 from vector_spark.streaming.tag_cardinality import streaming_tag_cardinality_limit
 
@@ -17,4 +18,6 @@ __all__ = [
     "stream_to_table",
     "stream_to_socket",
     "socket_text_source",
+    "HttpSpoolServer",
+    "http_spool_stream",
 ]
