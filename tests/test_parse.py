@@ -640,3 +640,21 @@ def test_length_delimited_framing(spark):
     assert [bytes(b) for b in got[0]] == [b"abc", b"xy"]
     assert got[1] is None
     assert got[2] == []
+
+
+def test_reverse_dns_loopback(spark):
+    """reverse_dns resolves loopback via the local resolver and returns
+    NULL (not an error) for unresolvable addresses — one lookup per
+    distinct IP per batch."""
+    import pyspark.sql.functions as F
+
+    from vector_spark.functions.ip import reverse_dns
+
+    rdns = reverse_dns()
+    df = spark.createDataFrame(
+        [("127.0.0.1",), ("127.0.0.1",), ("192.0.2.1",), (None,)], "ip string"
+    )
+    out = {r["ip"]: r["host"] for r in df.select("ip", rdns(F.col("ip")).alias("host")).collect()}
+    assert out["127.0.0.1"] == "localhost"
+    assert out["192.0.2.1"] is None  # TEST-NET-1: never resolvable
+    assert out[None] is None

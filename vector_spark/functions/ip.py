@@ -171,3 +171,39 @@ def ip6_cidr_contains(col: Column, cidr_block: str) -> Column:
         lo.bitwiseAND(F.lit(to_long(mask_lo))) == F.lit(to_long(net_lo & mask_lo))
     )
     return F.when(hexstr.isNotNull(), hit).otherwise(F.lit(False))
+
+
+def reverse_dns():
+    """VRL reverse_dns (lib/vrl/stdlib/src/reverse_dns.rs): IP → PTR
+    hostname. Inherently a network call, so this is the one stdlib
+    function that is an Arrow-batched UDF with side effects: per-batch
+    memoized `socket.gethostbyaddr` with a short timeout, NULL on any
+    resolution failure (the reference errors; in a pipeline a null
+    column composes better with the coalesce/default idioms used
+    everywhere else — divergence documented here).
+
+    Batch shape: one resolver cache per Arrow batch, so a batch of
+    mostly-repeated IPs (the realistic telemetry case) pays one lookup
+    per distinct IP. No oracle query — DNS answers depend on the
+    resolver environment; the pytest pins the loopback contract.
+    """
+    import socket as pysocket
+
+    @F.pandas_udf("string")
+    def _rdns(ips: pd.Series) -> pd.Series:
+        cache: dict[str, str | None] = {}
+
+        def look(ip):
+            if ip is None:
+                return None
+            if ip not in cache:
+                try:
+                    pysocket.setdefaulttimeout(1.0)
+                    cache[ip] = pysocket.gethostbyaddr(ip)[0]
+                except OSError:
+                    cache[ip] = None
+            return cache[ip]
+
+        return ips.map(look)
+
+    return _rdns
