@@ -475,3 +475,33 @@ checkpoint = "{ck}"
     compile_config(spark, toml).run()
     got = sorted(r["k"] for r in spark.read.parquet(out).collect())
     assert got == ["a", "b", "c"]
+
+
+def test_enrich_from_csv_table(spark, events_path, tmp_path):
+    """Reference-native enrichment format: a CSV file with headers +
+    typed schema broadcast-joined through the TOML front-end
+    (src/enrichment_tables/file.rs loads exactly this shape)."""
+    csv = tmp_path / "dim.csv"
+    csv.write_text("event_type;label\nerror;bad\nclick;ui\n")
+    toml = f"""
+[sources.events]
+type = "parquet"
+path = "{events_path}"
+
+[transforms.enriched]
+type = "enrich"
+inputs = ["events"]
+keys = ["event_type"]
+[transforms.enriched.table]
+path = "{csv}"
+delimiter = ";"
+schema = "event_type string, label string"
+
+[sinks.out]
+type = "memory"
+inputs = ["enriched"]
+"""
+    rows = compile_config(spark, toml).run()["out"]
+    labels = {r["event_type"]: r["label"] for r in rows}
+    assert labels["error"] == "bad" and labels["click"] == "ui"
+    assert all(r["label"] is None for r in rows if r["event_type"] not in ("error", "click"))

@@ -431,7 +431,18 @@ def _t_enrich(df, cfg):
     spark = df.sparkSession
     tbl = cfg["table"]
     if "path" in tbl:
-        dim = spark.read.parquet(tbl["path"])
+        path = tbl["path"]
+        if path.endswith(".csv"):
+            # the reference's native format: headers + delimiter + an
+            # optional per-column schema (file.rs:14-44)
+            reader = spark.read.option("header", True).option(
+                "sep", tbl.get("delimiter", ",")
+            )
+            if "schema" in tbl:
+                reader = reader.schema(tbl["schema"])
+            dim = reader.csv(path)
+        else:
+            dim = spark.read.parquet(path)
     else:
         dim = spark.createDataFrame(tbl["rows"], tbl["schema"])
     return EnrichmentTable(
