@@ -40,6 +40,15 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="compile-only check, no execution (the `vector validate` subcommand)",
     )
+    ap.add_argument(
+        "--tap",
+        default=None,
+        metavar="COMPONENT",
+        help="print up to --limit events from one component's output as JSON "
+        "lines (the `vector tap` subcommand, src/api/tap.rs — here a "
+        "one-shot sample instead of a live subscription)",
+    )
+    ap.add_argument("--limit", type=int, default=10, help="--tap sample size")
     args = ap.parse_args(argv)
 
     if args.graph:
@@ -84,6 +93,20 @@ def main(argv: list[str] | None = None) -> int:
             spark.stop()
             return 1
         print("ok")
+        spark.stop()
+        return 0
+
+    if args.tap:
+        topo = compile_config(spark, toml_text)
+        if args.tap not in topo.outputs:
+            print(
+                f"unknown component {args.tap!r}; available: {sorted(topo.outputs)}",
+                file=sys.stderr,
+            )
+            spark.stop()
+            return 1
+        for line in topo.outputs[args.tap].limit(args.limit).toJSON().collect():
+            print(line)
         spark.stop()
         return 0
 

@@ -505,3 +505,36 @@ inputs = ["enriched"]
     labels = {r["event_type"]: r["label"] for r in rows}
     assert labels["error"] == "bad" and labels["click"] == "ui"
     assert all(r["label"] is None for r in rows if r["event_type"] not in ("error", "click"))
+
+
+def test_tap_prints_component_sample(spark, events_path, tmp_path, capsys):
+    """`--tap` (the vector tap analogue): one-shot JSON-line sample of
+    any component's output; unknown names list what exists."""
+    import json as _json
+
+    import run_config
+
+    cfg = tmp_path / "tap.toml"
+    cfg.write_text(f"""
+[sources.events]
+type = "parquet"
+path = "{events_path}"
+
+[transforms.errors]
+type = "filter"
+inputs = ["events"]
+condition = "event_type = 'error'"
+
+[sinks.out]
+type = "noop"
+inputs = ["errors"]
+""")
+    rc = run_config.main([str(cfg), "--tap", "errors", "--limit", "5"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert 0 < len(lines) <= 5
+    assert all(_json.loads(l)["event_type"] == "error" for l in lines)
+
+    rc = run_config.main([str(cfg), "--tap", "nope"])
+    assert rc == 1
+    assert "unknown component" in capsys.readouterr().err
