@@ -489,3 +489,47 @@ def test_remove_duplicated_spans_matches_python(spark):
     for d, toks in docs:
         assert out[d]["tokens"] == expected[d], d
         assert out[d]["n_removed"] == len(toks) - len(expected[d]), d
+
+
+def test_prometheus_encode_parse_roundtrip(spark):
+    """encode_prometheus → parse_prometheus recovers name, labels and
+    value exactly, including escaped quotes/backslashes/newlines in
+    label values and NaN/±Inf specials."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.metrics_codec import encode_prometheus, parse_prometheus
+
+    rng = _rng()
+    cases = []
+    tricky = ['pla"in', "back\\slash", "new\nline", 'mix\\"ed\n', ""]
+    for i in range(150):
+        labels = {
+            f"k{j}": rng.choice(tricky) + str(rng.randint(0, 99))
+            for j in range(rng.randint(0, 4))
+        }
+        val = rng.choice([rng.uniform(-1e6, 1e6), float("nan"), float("inf"), float("-inf"), 0.0])
+        cases.append((i, f"metric_{i}", labels, val, rng.choice([None, 1700000000000 + i])))
+    df = spark.createDataFrame(
+        cases, "i long, name string, labels map<string,string>, value double, ts long"
+    )
+    enc = df.select(
+        "i", "name", "labels", "value", "ts",
+        encode_prometheus(
+            F.col("name"), F.col("value"), F.col("labels"), F.col("ts")
+        ).alias("line"),
+    )
+    parsed = enc.select(
+        "i", "name", "labels", "value", "ts",
+        *[c.alias("p_" + n) for n, c in parse_prometheus(F.col("line")).items()],
+    )
+    for r in parsed.collect():
+        assert r["p_error"] is None, (r["line"] if "line" in r else r["p_error"])
+        assert r["p_name"] == r["name"]
+        assert dict(r["p_labels"]) == dict(r["labels"])
+        assert r["p_timestamp_ms"] == r["ts"]
+        if math.isnan(r["value"]):
+            assert math.isnan(r["p_value"])
+        else:
+            assert r["p_value"] == r["value"]

@@ -278,3 +278,54 @@ def serialize_tags(tags: Column) -> Column:
             )
         ),
     )
+
+
+def _escape_label(v: Column) -> Column:
+    """Inverse of _unescape_label: \\ -> \\\\, " -> \\", newline -> \\n
+    (backslashes first so later escapes are not double-escaped)."""
+    s = F.regexp_replace(v, r"\\", r"\\\\")
+    s = F.regexp_replace(s, '"', '\\\\"')
+    return F.regexp_replace(s, "\n", r"\\n")
+
+
+def encode_prometheus(
+    name: Column,
+    value: Column,
+    labels: Column | None = None,
+    timestamp_ms: Column | None = None,
+) -> Column:
+    """One Prometheus text-exposition metric line — the encode half of
+    the `prometheus_exporter` sink (src/sinks/prometheus/exporter.rs /
+    collector.rs encode_metric): `name{k="v",...} value [ts]`, label
+    keys sorted (BTreeMap order in the reference), label values escaped
+    (backslash, quote, newline), NaN/±Inf spelled the exposition way.
+    Empty/null label maps emit no braces. Round-trips through
+    parse_prometheus (property-tested).
+
+    Write lines to a .prom text file for the node-exporter
+    textfile-collector pattern — the batch-Spark shape of a scrape
+    endpoint."""
+    pairs = F.array_sort(
+        F.transform(
+            F.map_entries(F.coalesce(labels, F.create_map()) if labels is not None else F.create_map()),
+            lambda e: F.concat(
+                _sanitize_key(e["key"]), F.lit('="'), _escape_label(e["value"]), F.lit('"')
+            ),
+        )
+    )
+    blob = F.when(
+        F.size(pairs) > 0, F.concat(F.lit("{"), F.concat_ws(",", pairs), F.lit("}"))
+    ).otherwise(F.lit(""))
+    val_s = (
+        F.when(F.isnan(value), F.lit("NaN"))
+        .when(value == F.lit(float("inf")), F.lit("+Inf"))
+        .when(value == F.lit(float("-inf")), F.lit("-Inf"))
+        .otherwise(value.cast("string"))
+    )
+    line = F.concat(_sanitize_key(name), blob, F.lit(" "), val_s)
+    if timestamp_ms is not None:
+        line = F.when(
+            timestamp_ms.isNotNull(),
+            F.concat(line, F.lit(" "), timestamp_ms.cast("string")),
+        ).otherwise(line)
+    return line
