@@ -62,6 +62,9 @@ def main(argv: list[str] | None = None) -> int:
     from vector_spark.plans.config import compile_config
     from vector_spark.session import get_spark
 
+    # session shutdown belongs to process exit (or the calling
+    # harness) — same convention as run_prep/run_dedup, and required
+    # for in-process callers (pytest) sharing one session
     spark = get_spark("vector_spark.run_config", cpus=args.cpus)
     with open(args.config) as f:
         toml_text = f.read()
@@ -80,7 +83,6 @@ def main(argv: list[str] | None = None) -> int:
                     print(f"  check {c.extract_from!r} ({c.n_rows} rows): {f_}")
         n_bad = sum(1 for r in results if not r.ok)
         print(json.dumps({"tests": len(results), "failed": n_bad}))
-        spark.stop()
         return 1 if n_bad else 0
 
     if args.validate:
@@ -90,10 +92,8 @@ def main(argv: list[str] | None = None) -> int:
             compile_config(spark, toml_text)
         except ConfigError as e:
             print(f"invalid: {e}")
-            spark.stop()
             return 1
         print("ok")
-        spark.stop()
         return 0
 
     if args.tap:
@@ -103,11 +103,9 @@ def main(argv: list[str] | None = None) -> int:
                 f"unknown component {args.tap!r}; available: {sorted(topo.outputs)}",
                 file=sys.stderr,
             )
-            spark.stop()
             return 1
         for line in topo.outputs[args.tap].limit(args.limit).toJSON().collect():
             print(line)
-        spark.stop()
         return 0
 
     t0 = time.time()
@@ -117,7 +115,6 @@ def main(argv: list[str] | None = None) -> int:
         name: (len(r) if isinstance(r, list) else r) for name, r in results.items()
     }
     print(json.dumps({"sinks": summary, "wall_secs": round(time.time() - t0, 3)}))
-    spark.stop()
     return 0
 
 
