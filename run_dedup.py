@@ -58,7 +58,11 @@ def main(argv=None) -> int:
     if args.ledger:
         import os
 
-        docs = docs.withColumn("__h", md5_long(F.col("text")))
+        # NULL text must still hash to a real key: a NULL __h never
+        # matches in the left_anti gate (NULL-safe it is not), so such
+        # docs would be re-ingested — and a NULL hash row appended —
+        # on EVERY run, breaking the idempotency contract.
+        docs = docs.withColumn("__h", md5_long(F.coalesce(F.col("text"), F.lit(""))))
         if os.path.isdir(args.ledger) and any(
             f.endswith(".parquet") for f in os.listdir(args.ledger)
         ):

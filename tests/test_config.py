@@ -507,6 +507,80 @@ inputs = ["enriched"]
     assert all(r["label"] is None for r in rows if r["event_type"] not in ("error", "click"))
 
 
+def test_enrich_csv_schema_map(spark, events_path, tmp_path):
+    """The reference's per-column schema map (file.rs FileConfig.schema,
+    parse_column:52-106): {col = "integer", d = "date|%m/%d/%Y"} —
+    a reference-shaped TOML table must load, with typed columns."""
+    import datetime
+
+    csv = tmp_path / "dim2.csv"
+    csv.write_text("event_type,weight,since\nerror,10,01/15/2023\nclick,3,06/30/2024\n")
+    toml = f"""
+[sources.events]
+type = "parquet"
+path = "{events_path}"
+
+[transforms.enriched]
+type = "enrich"
+inputs = ["events"]
+keys = ["event_type"]
+[transforms.enriched.table]
+path = "{csv}"
+[transforms.enriched.table.schema]
+event_type = "string"
+weight = "integer"
+since = "date|%m/%d/%Y"
+
+[sinks.out]
+type = "memory"
+inputs = ["enriched"]
+"""
+    rows = compile_config(spark, toml).run()["out"]
+    by_type = {r["event_type"]: r for r in rows if r["event_type"] in ("error", "click")}
+    assert by_type["error"]["weight"] == 10 and by_type["click"]["weight"] == 3
+    assert by_type["error"]["since"] == datetime.datetime(2023, 1, 15)  # midnight, date-parse
+
+
+def test_enrich_csv_schema_errors(spark, events_path, tmp_path):
+    """Bad schema shapes raise a NAMED ConfigError (the reference-shaped
+    claim used to die with an opaque Spark error)."""
+    import pytest
+
+    from vector_spark.plans.config import ConfigError
+
+    csv = tmp_path / "dim3.csv"
+    csv.write_text("event_type,weight\nerror,10\n")
+    base = f"""
+[sources.events]
+type = "parquet"
+path = "{events_path}"
+
+[transforms.enriched]
+type = "enrich"
+inputs = ["events"]
+keys = ["event_type"]
+[transforms.enriched.table]
+path = "{csv}"
+{{schema}}
+
+[sinks.out]
+type = "memory"
+inputs = ["enriched"]
+"""
+    with pytest.raises(ConfigError, match="unknown enrichment schema type"):
+        compile_config(
+            spark, base.format(schema='[transforms.enriched.table.schema]\nweight = "quaternion"')
+        ).run()
+    with pytest.raises(ConfigError, match="not present in the CSV header"):
+        compile_config(
+            spark, base.format(schema='[transforms.enriched.table.schema]\nnope = "integer"')
+        ).run()
+    with pytest.raises(ConfigError, match="unsupported chrono directive"):
+        compile_config(
+            spark, base.format(schema='[transforms.enriched.table.schema]\nweight = "date|%Q"')
+        ).run()
+
+
 def test_tap_prints_component_sample(spark, events_path, tmp_path, capsys):
     """`--tap` (the vector tap analogue): one-shot JSON-line sample of
     any component's output; unknown names list what exists."""

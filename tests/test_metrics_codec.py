@@ -150,6 +150,27 @@ def test_prometheus_nan_and_neg_inf(spark):
     assert rows["b -Inf"]["value"] == float("-inf")
 
 
+def test_prometheus_encode_label_key_order(spark):
+    """Labels sort by KEY (collector.rs make_labels: BTreeMap over
+    (key, value) tuples), not by the rendered `k="v"` string — with
+    {app, app2}, string-sorting the rendered pairs would emit app2
+    first because '2' < '=' in ASCII."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.metrics_codec import encode_prometheus
+
+    df = spark.createDataFrame([(1,)], "i long").select(
+        encode_prometheus(
+            F.lit("m"),
+            F.lit(1.0),
+            F.create_map(
+                F.lit("app2"), F.lit("x"), F.lit("app"), F.lit("y")
+            ),
+        ).alias("line")
+    )
+    assert df.first()["line"] == 'm{app="y",app2="x"} 1.0'
+
+
 def test_typeof_and_is_family(spark):
     cases = [
         ('{"a":1}', "object"),

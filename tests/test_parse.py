@@ -658,3 +658,28 @@ def test_reverse_dns_loopback(spark):
     assert out["127.0.0.1"] == "localhost"
     assert out["192.0.2.1"] is None  # TEST-NET-1: never resolvable
     assert out[None] is None
+
+
+def test_reverse_dns_no_global_timeout_mutation(spark):
+    """reverse_dns must not touch socket.setdefaulttimeout: the reused
+    executor Python worker serves OTHER UDFs afterwards, and a leaked
+    1s default would silently apply to every socket they open. The
+    probe UDF runs in the same select (same worker, same batch) and
+    reads the global AFTER the resolver column is computed."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from vector_spark.functions.ip import reverse_dns
+
+    @F.pandas_udf("string")
+    def default_timeout_after(s: pd.Series) -> pd.Series:
+        import socket
+
+        return pd.Series([repr(socket.getdefaulttimeout())] * len(s))
+
+    df = spark.createDataFrame([("127.0.0.1",), ("192.0.2.1",)], "ip string")
+    rows = df.select(
+        reverse_dns()(F.col("ip")).alias("host"),
+        default_timeout_after(F.col("ip")).alias("tmo"),
+    ).collect()
+    assert all(r["tmo"] == "None" for r in rows)

@@ -152,3 +152,32 @@ def test_run_dedup_ledger_incremental(spark, tmp_path, capsys):
     n_h = hashes.count()
     assert n_h == hashes.distinct().count()  # idempotent append
     assert first["rows_kept"] <= n_h <= first["rows_in"]  # distinct texts seen
+
+
+def test_run_dedup_ledger_null_text(spark, tmp_path, capsys):
+    """NULL-text docs hash through coalesce('') so the ledger gate drops
+    them on re-ingest like any other doc — a NULL __h would never match
+    the left_anti join and such docs would re-ingest (and append a NULL
+    hash row) on every run."""
+    import json as _json
+
+    import run_dedup
+
+    inp = str(tmp_path / "docs_null")
+    spark.createDataFrame(
+        [("d1", "alpha beta gamma delta"), ("d2", None), ("d3", None)],
+        "doc_id string, text string",
+    ).write.parquet(inp)
+    ledger = str(tmp_path / "ledger_null")
+
+    def run():
+        assert run_dedup.main(["--input", inp, "--ledger", ledger]) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    first = run()
+    assert first["ledger_dropped"] == 0
+    second = run()
+    assert second["ledger_dropped"] == second["rows_in"] == 3  # NULLs gated too
+    hashes = spark.read.parquet(ledger)
+    assert hashes.count() == hashes.distinct().count() == 2  # d2/d3 share ''
+    assert hashes.where("h is null").count() == 0

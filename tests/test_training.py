@@ -920,6 +920,26 @@ def test_semantic_dedup_crafted(spark):
     }
 
 
+def test_semantic_dedup_releases_cache(spark):
+    """semantic_dedup persists the cell-assignment scan internally; the
+    returned frame must release it — collect() auto-unpersists, and a
+    .release() handle covers write()-only consumers (the r3 version
+    leaked the persisted handle for the session's lifetime)."""
+    from vector_spark.training.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3 == j) for j in range(4)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(emb, n_cells=2, threshold=0.9)
+    assert hasattr(out, "release") and out._cached_dep.is_cached
+    out.collect()
+    assert not out._cached_dep.is_cached  # auto-released on consume
+    out2 = semantic_dedup(emb, n_cells=2, threshold=0.9)
+    out2.release()  # explicit handle for write()-style consumers
+    assert not out2._cached_dep.is_cached
+
+
 def test_bigram_logprob_closed_form(spark):
     """Hand-computed interpolated bigram NLL on a 2-doc corpus."""
     import math

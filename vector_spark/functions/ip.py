@@ -177,10 +177,19 @@ def reverse_dns():
     """VRL reverse_dns (lib/vrl/stdlib/src/reverse_dns.rs): IP → PTR
     hostname. Inherently a network call, so this is the one stdlib
     function that is an Arrow-batched UDF with side effects: per-batch
-    memoized `socket.gethostbyaddr` with a short timeout, NULL on any
-    resolution failure (the reference errors; in a pipeline a null
-    column composes better with the coalesce/default idioms used
-    everywhere else — divergence documented here).
+    memoized `socket.gethostbyaddr`, NULL on any resolution failure
+    (the reference errors; in a pipeline a null column composes better
+    with the coalesce/default idioms used everywhere else — divergence
+    documented here).
+
+    Timeout contract: `gethostbyaddr` uses the libc resolver, which
+    ignores Python's socket-level default timeout, so the bound is
+    enforced from OUTSIDE — each lookup runs on a small thread pool and
+    is abandoned (→ NULL) after 1 s via Future.result(timeout). No
+    process-global state is touched, so other sockets in the reused
+    executor worker keep their own timeouts. A timed-out lookup's
+    thread finishes in the background and is reaped by
+    shutdown(wait=False); it never blocks the batch.
 
     Batch shape: one resolver cache per Arrow batch, so a batch of
     mostly-repeated IPs (the realistic telemetry case) pays one lookup
@@ -188,22 +197,28 @@ def reverse_dns():
     resolver environment; the pytest pins the loopback contract.
     """
     import socket as pysocket
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import TimeoutError as _FutTimeout
 
     @F.pandas_udf("string")
     def _rdns(ips: pd.Series) -> pd.Series:
         cache: dict[str, str | None] = {}
+        pool = ThreadPoolExecutor(max_workers=8, thread_name_prefix="rdns")
 
         def look(ip):
             if ip is None:
                 return None
             if ip not in cache:
                 try:
-                    pysocket.setdefaulttimeout(1.0)
-                    cache[ip] = pysocket.gethostbyaddr(ip)[0]
-                except OSError:
+                    fut = pool.submit(lambda a=ip: pysocket.gethostbyaddr(a)[0])
+                    cache[ip] = fut.result(timeout=1.0)
+                except (OSError, _FutTimeout, RuntimeError):
                     cache[ip] = None
             return cache[ip]
 
-        return ips.map(look)
+        try:
+            return ips.map(look)
+        finally:
+            pool.shutdown(wait=False)
 
     return _rdns

@@ -305,13 +305,19 @@ def encode_prometheus(
     Write lines to a .prom text file for the node-exporter
     textfile-collector pattern — the batch-Spark shape of a scrape
     endpoint."""
-    pairs = F.array_sort(
-        F.transform(
-            F.map_entries(F.coalesce(labels, F.create_map()) if labels is not None else F.create_map()),
-            lambda e: F.concat(
-                _sanitize_key(e["key"]), F.lit('="'), _escape_label(e["value"]), F.lit('"')
-            ),
-        )
+    # Sort the (key, value) ENTRIES (struct sort = key then value), not
+    # the rendered `k="escaped-v"` strings: the reference's BTreeMap
+    # orders by raw key, and string-sorting rendered pairs diverges when
+    # one key is a prefix of another whose next char sorts below '='
+    # (e.g. {app, app2} would emit app2 first).
+    entries = F.array_sort(
+        F.map_entries(F.coalesce(labels, F.create_map()) if labels is not None else F.create_map())
+    )
+    pairs = F.transform(
+        entries,
+        lambda e: F.concat(
+            _sanitize_key(e["key"]), F.lit('="'), _escape_label(e["value"]), F.lit('"')
+        ),
     )
     blob = F.when(
         F.size(pairs) > 0, F.concat(F.lit("{"), F.concat_ws(",", pairs), F.lit("}"))

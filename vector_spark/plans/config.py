@@ -423,6 +423,88 @@ def _t_tag_cardinality_limit(df, cfg):
     ).apply(df)
 
 
+# chrono strftime directives → Spark datetime-pattern fragments, for the
+# reference's "date|%m/%d/%Y" / "timestamp|fmt" schema values
+# (src/enrichment_tables/file.rs:63-93 splits on '|' and hands the tail
+# to chrono). Only directives with an exact Spark equivalent translate;
+# anything else is a named ConfigError, not silent garbage.
+_CHRONO_TO_SPARK = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
+    "%H": "HH", "%M": "mm", "%S": "ss", "%f": "SSSSSSSSS", "%3f": "SSS",
+    "%6f": "SSSSSS", "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%j": "DDD", "%z": "xx", "%:z": "xxx", "%%": "%",
+}
+
+
+def _chrono_to_spark_fmt(fmt: str) -> str:
+    import re as _re
+
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            m = _re.match(r"%(?::z|3f|6f|%|[A-Za-z])", fmt[i:])
+            if not m or m.group(0) not in _CHRONO_TO_SPARK:
+                raise ConfigError(
+                    f"unsupported chrono directive {fmt[i:i+3]!r} in enrichment "
+                    f"schema format {fmt!r} (supported: {sorted(_CHRONO_TO_SPARK)})"
+                )
+            out.append(_CHRONO_TO_SPARK[m.group(0)])
+            i += len(m.group(0))
+        elif fmt[i].isalpha():
+            # letters are pattern chars in Spark — quote them
+            j = i
+            while j < len(fmt) and fmt[j].isalpha():
+                j += 1
+            out.append("'" + fmt[i:j] + "'")
+            i = j
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+def _apply_enrich_schema_map(df, schema: dict):
+    """Column-wise conversion for the reference's per-column schema map
+    (src/enrichment_tables/file.rs parse_column:52-106): values are
+    Conversion names — string/bytes, int/integer, float, bool/boolean,
+    timestamp[|fmt] — plus the date[|fmt] special case. Unknown columns
+    pass through untouched (the reference only converts mapped columns).
+    """
+    for col, spec in schema.items():
+        if col not in df.columns:
+            raise ConfigError(
+                f"enrichment schema names column {col!r} not present in the "
+                f"CSV header ({df.columns})"
+            )
+        kind, _, fmt = (s.strip() for s in str(spec).partition("|"))
+        c = F.col(col)
+        if kind in ("string", "bytes"):
+            conv = c.cast("string")
+        elif kind in ("int", "integer"):
+            conv = c.cast("long")
+        elif kind == "float":
+            conv = c.cast("double")
+        elif kind in ("bool", "boolean"):
+            conv = c.cast("boolean")
+        elif kind == "date":
+            # reference: midnight-UTC timestamp from a date-only parse
+            pat = _chrono_to_spark_fmt(fmt) if fmt else "yyyy-MM-dd"
+            conv = F.to_timestamp(F.to_date(c, pat))
+        elif kind == "timestamp":
+            if fmt in ("", "%+"):  # %+ = RFC 3339 — Spark's default parse
+                conv = F.to_timestamp(c)
+            else:
+                conv = F.to_timestamp(c, _chrono_to_spark_fmt(fmt))
+        else:
+            raise ConfigError(
+                f"unknown enrichment schema type {spec!r} for column {col!r} "
+                "(expected string/bytes/int/integer/float/bool/boolean/"
+                "date[|fmt]/timestamp[|fmt])"
+            )
+        df = df.withColumn(col, conv)
+    return df
+
+
 def _t_enrich(df, cfg):
     """Enrichment-table broadcast join from inline rows or a parquet
     path (SURVEY §2.6; src/enrichment_tables/file.rs)."""
@@ -438,9 +520,26 @@ def _t_enrich(df, cfg):
             reader = spark.read.option("header", True).option(
                 "sep", tbl.get("delimiter", ",")
             )
-            if "schema" in tbl:
-                reader = reader.schema(tbl["schema"])
-            dim = reader.csv(path)
+            schema = tbl.get("schema")
+            if isinstance(schema, dict):
+                # reference shape (file.rs FileConfig.schema /
+                # parse_column:52-106): a per-column map like
+                # {col = "integer", d = "date|%m/%d/%Y"} — read raw
+                # strings, then convert column-wise below.
+                dim = reader.csv(path)
+                dim = _apply_enrich_schema_map(dim, schema)
+            elif schema is not None:
+                # Spark-native: DDL string or StructType
+                try:
+                    dim = reader.schema(schema).csv(path)
+                except Exception as exc:  # surface a named error, not Spark's opaque one
+                    raise ConfigError(
+                        "enrichment table `schema` must be a per-column map "
+                        '({col = "integer", d = "date|%m/%d/%Y"}) or a Spark DDL '
+                        f"string/StructType; got {schema!r}: {exc}"
+                    ) from exc
+            else:
+                dim = reader.csv(path)
         else:
             dim = spark.read.parquet(path)
     else:

@@ -425,8 +425,10 @@ def semantic_dedup(
     # the assignment feeds THREE plan branches (self-join sides a and b
     # plus the left-join probe); mapInPandas sits above the exchange, so
     # without a persist the full scan + Arrow argmax would run 3x.
-    # Caller-released: the cache belongs to this query's lifetime (same
-    # convention as shared_shingles).
+    # The cache is released via the same convention as minhash/shingles:
+    # the returned frame's collect/toPandas/count unpersist it, and a
+    # .release() handle covers write()/other consumers (see
+    # _release_after_compute).
     assigned = (
         emb.repartition(id_col).select(id_col, vec_col).mapInPandas(assign, schema).persist()
     )
@@ -454,7 +456,9 @@ def semantic_dedup(
             ).alias("__dup"),
         )
     )
-    return (
+    from vector_spark.training.dedup import _release_after_compute
+
+    out = (
         assigned.join(stats, assigned[id_col] == stats["__ida"], "left")
         .select(
             id_col,
@@ -463,6 +467,7 @@ def semantic_dedup(
             F.coalesce(F.col("__dup") == 1, F.lit(False)).alias("is_dup"),
         )
     )
+    return _release_after_compute(out, assigned)
 
 
 def lsh_near_pairs(
