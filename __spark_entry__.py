@@ -2921,6 +2921,48 @@ def q_tag_types_json(spark, sf):
     )
 
 
+# ---- regex value kind (to_regex.rs, is_regex.rs) --------------------
+# Tagged-struct convention (functions/types.py): a regex VALUE is
+# struct<regex: string> / the JSON object {"regex": p}. Oracle derives
+# validity from event_id % 3 ground truth (only %3=1 builds an invalid
+# pattern — unbalanced paren), not by re-compiling.
+
+
+@_q(
+    "regex_values",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 1 THEN NULL
+                WHEN event_id % 3 = 0 THEN '^' || event_type
+                ELSE event_type || '$' END AS rx_pattern,
+           CASE WHEN event_id % 3 = 1 THEN NULL ELSE true END AS matched,
+           event_id % 2 = 0 AS is_rx
+    FROM events
+    """,
+)
+def q_regex_values(spark, sf):
+    from vector_spark.functions import types as T
+
+    ev = _t(spark, sf, "events")
+    eid = F.col("event_id")
+    pat = (
+        F.when(eid % 3 == 0, F.concat(F.lit("^"), F.col("event_type")))
+        .when(eid % 3 == 1, F.concat(F.lit("("), F.col("event_type")))
+        .otherwise(F.concat(F.col("event_type"), F.lit("$")))
+    )
+    rx = T.to_regex(pat)
+    vj = (
+        F.when(eid % 2 == 0, F.concat(F.lit('{"regex":"'), F.col("event_type"), F.lit('"}')))
+        .otherwise(F.lit('"plain"'))
+    )
+    return ev.select(
+        eid.alias("event_id"),
+        rx["regex"].alias("rx_pattern"),
+        T.regex_match(F.col("event_type"), rx).alias("matched"),
+        T.is_regex(vj).alias("is_rx"),
+    )
+
+
 # ---- multimodal plumbing: binary payloads + mapInPandas features ----
 # Payloads are the document text bytes (the stand-in for real blobs);
 # the stub "decode" is sha256 -> 8-dim feature (training/multimodal.py),

@@ -221,3 +221,38 @@ def test_assert_eq(spark):
     bad = spark.createDataFrame([(1, 1), (2, 3)], "a int, b int")
     with pytest.raises(AssertionError):
         T.assert_eq(bad, F.col("a"), F.col("b"), "a vs b")
+
+
+def test_regex_value_kind(spark):
+    # to_regex validates; invalid patterns -> NULL struct (VRL errors)
+    df = spark.createDataFrame(
+        [("^a.c$",), ("(unbalanced",), (None,), ("[0-9]+",)], "p string"
+    )
+    rx = df.select(T.to_regex(F.col("p")).alias("rx"))
+    assert T.is_regex_type(rx, "rx")
+    assert not T.is_regex_type(df, "p")
+    got = [r[0] for r in rx.select(F.col("rx.regex")).collect()]
+    assert got == ["^a.c$", None, None, "[0-9]+"]
+
+    # regex_match applies a runtime regex value; NULL regex propagates
+    m = spark.createDataFrame(
+        [("abc", "^a.c$"), ("xbc", "^a.c$"), ("abc", "(bad")],
+        "s string, p string",
+    )
+    got = [
+        r[0]
+        for r in m.select(
+            T.regex_match(F.col("s"), T.to_regex(F.col("p")))
+        ).collect()
+    ]
+    assert got == [True, False, None]
+
+    # is_regex over the JSON variant: exactly the one-key {"regex": ...} form
+    j = spark.createDataFrame(
+        [('{"regex":"^a$"}',), ('{"regex":"^a$","x":1}',), ('"plain"',),
+         ('{"string":"^a$"}',), (None,)],
+        "v string",
+    )
+    got = [r[0] for r in j.select(T.is_regex(F.col("v"))).collect()]
+    assert got[0] is True and got[1] is False and got[2] in (False, None)
+    assert got[3] is False

@@ -127,6 +127,84 @@ def tag_types_externally(col: Column) -> Column:
     return _tag(col)
 
 
+# --- regex value kind (to_regex.rs, is_regex.rs) ---------------------
+#
+# VRL has a first-class Regex value kind (lib/vrl/compiler Value::Regex);
+# Spark has no regex column type, so we adopt a tagged-struct convention
+# consistent with tag_types_externally's {"<type>": value} envelope: a
+# regex VALUE is `struct<regex: string>` (typed-column world) or the
+# one-key JSON object {"regex": "<pattern>"} (JSON-variant world).
+# `to_regex` validates the pattern (VRL's to_regex errors on an invalid
+# pattern; per this build's convention runtime errors become NULL).
+# Caveat (recorded in COVERAGE.md): the tag rides in the schema/shape,
+# not in a runtime kind — a user-made struct<regex: string> is
+# indistinguishable from a to_regex product, exactly as a user-made
+# {"string": ...} object is indistinguishable from a tagged string.
+
+REGEX_STRUCT_DDL = "struct<regex: string>"
+
+
+def to_regex(col: Column) -> Column:
+    """VRL to_regex (lib/vrl/stdlib/src/to_regex.rs): string → regex
+    value. Pattern validity needs a real regex compiler, so this is an
+    Arrow-batched pandas UDF (`re.compile` per DISTINCT pattern per
+    batch, memoized); invalid patterns → NULL struct (VRL raises)."""
+    import re
+
+    @F.pandas_udf(REGEX_STRUCT_DDL)
+    def _to_rx(s: "pd.Series") -> "pd.DataFrame":
+        ok: dict = {}
+
+        def one(p):
+            if p is None:
+                return None
+            if p not in ok:
+                try:
+                    re.compile(p)
+                    ok[p] = p
+                except re.error:
+                    ok[p] = None
+            return ok[p]
+
+        return pd.DataFrame({"regex": s.map(one)})
+
+    return _to_rx(col)
+
+
+def is_regex_type(df: DataFrame, name: str) -> bool:
+    """VRL is_regex over the typed-column world: like is_timestamp, the
+    kind collapses to a plan-time schema test — True iff the column is
+    the regex tagged struct (struct with exactly one string field
+    named 'regex')."""
+    for fld in df.schema.fields:
+        if fld.name == name:
+            s = fld.dataType.simpleString().replace(" ", "")
+            return s == "struct<regex:string>"
+    return False
+
+
+def is_regex(col: Column) -> Column:
+    """VRL is_regex over the JSON-variant: true iff the value is the
+    tagged one-key object {"regex": <string>}. Pure expression."""
+    keys = F.json_object_keys(col)
+    return (
+        keys.isNotNull()
+        & (F.size(keys) == 1)
+        & (F.element_at(keys, 1) == "regex")
+        & F.get_json_object(col, "$.regex").isNotNull()
+    )
+
+
+def regex_match(col: Column, rx: Column) -> Column:
+    """Apply a regex VALUE (to_regex product) to a string — VRL's
+    `match(s, r)` where r is a runtime regex. Spark's regexp_like
+    accepts a non-foldable pattern (compiled per row — the documented
+    cost of dynamic patterns; literal patterns should use rlike so the
+    pattern folds and codegen caches the compiled regex). NULL regex
+    (invalid pattern) → NULL, matching the error-propagation rule."""
+    return F.when(rx["regex"].isNotNull(), F.regexp_like(col, rx["regex"]))
+
+
 def assert_eq(df: DataFrame, left: Column, right: Column, message: str = "") -> None:
     """VRL assert_eq (lib/vrl/stdlib/src/assert_eq.rs) as an eager
     batch check: raise if any row has left != right (null-safe)."""
