@@ -743,7 +743,7 @@ def q_langid(spark, sf):
     """,
 )
 def q_embedding_neardup(spark, sf):
-    from vector_spark.training.similarity import all_pairs_neardup
+    from vector_spark.training.baselines import all_pairs_neardup  # TEST-ONLY oracle baseline
 
     emb = _t(spark, sf, "embeddings")
     pairs = all_pairs_neardup(emb, threshold=0.35)
@@ -769,7 +769,7 @@ def q_embedding_neardup(spark, sf):
     """,
 )
 def q_ann_topk(spark, sf):
-    from vector_spark.training.similarity import brute_force_topk
+    from vector_spark.training.baselines import brute_force_topk  # TEST-ONLY oracle baseline
 
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter("vec_id < 5").select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))

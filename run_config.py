@@ -49,6 +49,27 @@ def main(argv: list[str] | None = None) -> int:
         "one-shot sample instead of a live subscription)",
     )
     ap.add_argument("--limit", type=int, default=10, help="--tap sample size")
+    ap.add_argument(
+        "--top",
+        type=float,
+        default=None,
+        metavar="SECS",
+        help="emit periodic internal-metrics snapshots (`vector top` "
+        "analogue, src/top/): per-component cumulative sent-event "
+        "counters + rates as Prometheus exposition files in --top-dir, "
+        "one snapshot after every sink plus every SECS seconds "
+        "(pass 0 for per-sink snapshots only)",
+    )
+    ap.add_argument("--top-dir", default="top_snapshots", help="--top output dir")
+    ap.add_argument(
+        "--reload-from",
+        default=None,
+        metavar="OLD_TOML",
+        help="reload semantics (`vector` config reload, src/config/diff.rs): "
+        "diff OLD_TOML against the config, keep unchanged sinks' streaming "
+        "checkpoints (the run continues where the old config stopped), "
+        "rotate checkpoints of changed stateful chains, and print the diff",
+    )
     args = ap.parse_args(argv)
 
     if args.graph:
@@ -109,12 +130,33 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     t0 = time.time()
-    topo = compile_config(spark, toml_text)
-    results = topo.run()
+    diff = None
+    if args.reload_from:
+        from vector_spark.plans.config import recompile
+
+        with open(args.reload_from) as f:
+            old_text = f.read()
+        topo, diff = recompile(spark, old_text, toml_text)
+    else:
+        topo = compile_config(spark, toml_text)
+    top = None
+    if args.top is not None:
+        from vector_spark.plans.top import TopMonitor
+
+        top = TopMonitor(spark, args.top_dir, interval_secs=args.top or None)
+        top.start()
+    results = topo.run(top=top)
+    if top is not None:
+        top.stop()
     summary = {
         name: (len(r) if isinstance(r, list) else r) for name, r in results.items()
     }
-    print(json.dumps({"sinks": summary, "wall_secs": round(time.time() - t0, 3)}))
+    out = {"sinks": summary, "wall_secs": round(time.time() - t0, 3)}
+    if diff is not None:
+        out["diff"] = diff.as_dict()
+    if top is not None:
+        out["top_snapshots"] = top.snapshots_taken
+    print(json.dumps(out))
     return 0
 
 

@@ -3,12 +3,15 @@
 
 Chains the training tier end-to-end the way a corpus build actually
 runs it — quality filter → exact dedup → fuzzy dedup (MinHash-LSH →
-connected components → keep representatives) → optional domain-mix
-resampling → optional DSIR target-domain selection → optional benchmark
-decontamination → tokenize → pack into fixed-length training sequences
-→ partitioned parquet write — and prints ONE JSON line of per-stage
-lineage (rows in/out, per-source row counts, tokens, wall seconds)
-plus pack fill efficiency.
+connected components → keep representatives) → optional embedding-space
+dedup (LSH-banded near-dup clustering and/or SemDeDup cells — ALWAYS
+the banded paths; the exact all-pairs twins live in
+training/baselines.py as test oracles and are not CLI-reachable) →
+optional domain-mix resampling → optional DSIR target-domain selection
+→ optional benchmark decontamination → tokenize → pack into
+fixed-length training sequences → partitioned parquet write — and
+prints ONE JSON line of per-stage lineage (rows in/out, per-source row
+counts, tokens, wall seconds) plus pack fill efficiency.
 
     spark-submit --master local[8] --py-files vector_spark.zip \
         run_prep.py --input /root/testdata/sf0.01/documents.parquet \
@@ -68,9 +71,29 @@ def main(argv=None) -> int:
                     help="ExactSubstr dedup (Lee et al. 2021) after tokenize: excise "
                     "every duplicated N-token run, keeping the corpus-first copy; "
                     "omit to skip")
+    # embedding-space dedup — BANDED paths only (the exact all-pairs /
+    # brute-force twins live in training/baselines.py as test oracles
+    # and are deliberately not reachable from this CLI: nothing here
+    # collects an embedding table to the driver).
+    ap.add_argument("--embeddings", default=None,
+                    help="embedding parquet (vec_id, embedding array<float>) keyed to "
+                    "doc_id; required by --semantic-dedup-cells / --embedding-neardup")
+    ap.add_argument("--semantic-dedup-cells", type=int, default=None,
+                    help="SemDeDup (Abbas et al. 2023): cluster embeddings into N cells "
+                    "and drop rows with a smaller-id same-cell neighbor above "
+                    "--semantic-dedup-threshold; pair work is cell-bounded (banded path)")
+    ap.add_argument("--semantic-dedup-threshold", type=float, default=0.35)
+    ap.add_argument("--embedding-neardup", type=float, default=None, metavar="COS",
+                    help="embedding near-dup dedup: LSH-banded candidate pairs at "
+                    "cosine >= COS -> connected components -> keep the min-id "
+                    "representative per cluster (banded path, linear shuffle)")
+    ap.add_argument("--neardup-bands", type=int, default=4)
+    ap.add_argument("--neardup-planes", type=int, default=8)
     args = ap.parse_args(argv)
     if args.dsir_target and not args.dsir_keep:
         ap.error("--dsir-target requires --dsir-keep")
+    if (args.semantic_dedup_cells or args.embedding_neardup is not None) and not args.embeddings:
+        ap.error("--semantic-dedup-cells / --embedding-neardup require --embeddings")
 
     from vector_spark.session import get_spark
     from vector_spark.training.components import connected_components, keep_representatives
@@ -150,6 +173,69 @@ def main(argv=None) -> int:
     fuzzy = keep_representatives(exact, comp).persist()
     n_fuzzy = stage_counted("fuzzy_dedup", t0, fuzzy, n_exact)
     exact.unpersist()
+
+    # 3b. optional embedding-space dedup over the survivors — BOTH
+    # stages route through the banded/bucketed paths (lsh_near_pairs,
+    # semantic_dedup); the exact baselines in training/baselines.py are
+    # recall oracles, never CLI-reachable. Docs with no embedding row
+    # cannot be semantic duplicates and pass through (anti-join on the
+    # drop set, not semi-join on the keep set).
+    if args.embeddings:
+        emb_all = spark.read.parquet(args.embeddings)
+        live_emb = emb_all.join(
+            fuzzy.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        ).select("vec_id", "embedding")
+
+        if args.embedding_neardup is not None:
+            from vector_spark.training.similarity import lsh_near_pairs
+
+            t0 = time.time()
+            dim = live_emb.select(F.size("embedding")).first()[0]
+            pairs_e = lsh_near_pairs(
+                live_emb,
+                threshold=args.embedding_neardup,
+                dim=int(dim),
+                n_bands=args.neardup_bands,
+                band_planes=args.neardup_planes,
+            )
+            comp_e = connected_components(pairs_e, "id_a", "id_b")
+            losers = comp_e.filter(F.col("id") != F.col("component")).select(
+                F.col("id").alias("doc_id")
+            )
+            nd = fuzzy.join(losers, "doc_id", "left_anti").persist()
+            n_nd = stage_counted(
+                "embedding_neardup", t0, nd, n_fuzzy, threshold=args.embedding_neardup
+            )
+            fuzzy.unpersist()
+            fuzzy, n_fuzzy = nd, n_nd
+
+        if args.semantic_dedup_cells:
+            from vector_spark.training.similarity import semantic_dedup
+
+            t0 = time.time()
+            if args.embedding_neardup is not None:
+                live_emb = emb_all.join(
+                    fuzzy.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+                ).select("vec_id", "embedding")
+            sem = semantic_dedup(
+                live_emb,
+                n_cells=args.semantic_dedup_cells,
+                threshold=args.semantic_dedup_threshold,
+            )
+            dup_ids = sem.filter(F.col("is_dup")).select(F.col("vec_id").alias("doc_id"))
+            sd = fuzzy.join(dup_ids, "doc_id", "left_anti").persist()
+            sd.count()  # materialize, then release semantic_dedup's assignment cache
+            sem.release()
+            n_sd = stage_counted(
+                "semantic_dedup",
+                t0,
+                sd,
+                n_fuzzy,
+                n_cells=args.semantic_dedup_cells,
+                threshold=args.semantic_dedup_threshold,
+            )
+            fuzzy.unpersist()
+            fuzzy, n_fuzzy = sd, n_sd
 
     # 4. optional domain-mix temperature resampling (after dedup, the
     # standard order: duplicates would otherwise distort source shares).

@@ -612,3 +612,195 @@ inputs = ["errors"]
     rc = run_config.main([str(cfg), "--tap", "nope"])
     assert rc == 1
     assert "unknown component" in capsys.readouterr().err
+
+
+def test_recompile_preserves_unchanged_checkpoints(spark, tmp_path):
+    """Config reload (diff.rs / topology/running.rs analogue): swapping
+    one transform between two availableNow runs keeps every untouched
+    sink's checkpoint — only data that arrived since the old run is
+    processed — and the changed (stateless) chain keeps its offsets
+    too, applying the new logic from the next file on."""
+    from vector_spark.plans.config import recompile
+
+    src, out_a, out_b, ck_a, ck_b = (
+        str(tmp_path / d) for d in ("src", "out_a", "out_b", "ck_a", "ck_b")
+    )
+    spark.createDataFrame(
+        [(1, "keep"), (2, "drop")], "id int, kind string"
+    ).coalesce(1).write.parquet(src + "/p1")
+
+    def cfg(t_b_condition):
+        return f"""
+[sources.stream]
+type = "stream_parquet"
+path = "{src}/p*"
+schema = "id int, kind string"
+
+[transforms.t_a]
+type = "filter"
+inputs = ["stream"]
+condition = "kind = 'keep'"
+
+[transforms.t_b]
+type = "filter"
+inputs = ["stream"]
+condition = "{t_b_condition}"
+
+[sinks.a]
+type = "parquet"
+inputs = ["t_a"]
+path = "{out_a}"
+checkpoint = "{ck_a}"
+
+[sinks.b]
+type = "parquet"
+inputs = ["t_b"]
+path = "{out_b}"
+checkpoint = "{ck_b}"
+"""
+
+    old = cfg("id < 10")
+    compile_config(spark, old).run()
+    assert sorted(r["id"] for r in spark.read.parquet(out_a).collect()) == [1]
+    assert sorted(r["id"] for r in spark.read.parquet(out_b).collect()) == [1, 2]
+
+    # new data arrives; t_b's condition is swapped
+    spark.createDataFrame(
+        [(3, "keep"), (4, "drop")], "id int, kind string"
+    ).coalesce(1).write.parquet(src + "/p2")
+    new = cfg("kind = 'drop'")
+    topo, diff = recompile(spark, old, new)
+    assert diff.transforms.to_change == {"t_b"}
+    assert not diff.sources.any_changes() and not diff.sinks.any_changes()
+    # stateless chain: checkpoints untouched for BOTH sinks
+    assert topo.sink_configs["a"]["checkpoint"] == ck_a
+    assert topo.sink_configs["b"]["checkpoint"] == ck_b
+    topo.run()
+    # unchanged sink a processed ONLY p2 (checkpoint preserved)
+    assert sorted(r["id"] for r in spark.read.parquet(out_a).collect()) == [1, 3]
+    # changed sink b kept its offsets: p1 NOT re-ingested under the new
+    # condition (a reset would have appended id=2 again), p2 filtered
+    # by the new logic
+    assert sorted(r["id"] for r in spark.read.parquet(out_b).collect()) == [1, 2, 4]
+
+
+def test_recompile_rotates_stateful_checkpoint_and_purges_removed(spark, tmp_path):
+    """A changed chain that carries streaming-stateful operator state
+    gets a deterministic checkpoint rotation (Spark refuses state
+    restores under a changed plan); removed sinks can purge their
+    checkpoints."""
+    import os
+
+    from vector_spark.plans.config import recompile
+
+    src, out, ck, ck_gone = (
+        str(tmp_path / d) for d in ("src", "out", "ck", "ck_gone")
+    )
+    import datetime
+
+    spark.createDataFrame(
+        [(1, "keep", datetime.datetime(2026, 1, 1))], "id int, kind string, ts timestamp"
+    ).coalesce(1).write.parquet(src + "/p1")
+    os.makedirs(ck_gone, exist_ok=True)
+
+    def cfg(cond, with_b=True):
+        b = f"""
+[sinks.b]
+type = "noop"
+inputs = ["pre"]
+checkpoint = "{ck_gone}"
+""" if with_b else ""
+        return f"""
+[sources.stream]
+type = "stream_parquet"
+path = "{src}/p*"
+schema = "id int, kind string, ts timestamp"
+
+[transforms.pre]
+type = "filter"
+inputs = ["stream"]
+condition = "{cond}"
+
+[transforms.agg]
+type = "dedupe"
+inputs = ["pre"]
+fields = {{ match = ["id"] }}
+
+[sinks.a]
+type = "parquet"
+inputs = ["agg"]
+path = "{out}"
+checkpoint = "{ck}"
+{b}
+"""
+
+    old, new = cfg("id < 10"), cfg("id < 99", with_b=False)
+    topo, diff = recompile(spark, old, new, purge_removed=True)
+    assert diff.transforms.to_change == {"pre"}
+    assert diff.sinks.to_remove == {"b"}
+    rotated = topo.sink_configs["a"]["checkpoint"]
+    assert rotated != ck and rotated.startswith(ck + "-gen")
+    # deterministic: recompiling the same pair rotates to the same dir
+    topo2, _ = recompile(spark, old, new)
+    assert topo2.sink_configs["a"]["checkpoint"] == rotated
+    # removed sink's checkpoint purged
+    assert not os.path.exists(ck_gone)
+
+
+def test_top_snapshots_monotone(spark, tmp_path, capsys):
+    """`vector top` analogue: the run emits >=2 Prometheus exposition
+    snapshots with monotone per-component counters, via the
+    run_config.py --top flag."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import run_config
+    from vector_spark.plans.top import parse_snapshot
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, "keep" if i % 2 else "drop") for i in range(10)], "id int, kind string"
+    ).write.parquet(src)
+    top_dir = str(tmp_path / "top")
+    cfg = tmp_path / "top.toml"
+    cfg.write_text(f"""
+[sources.ev]
+type = "parquet"
+path = "{src}"
+
+[transforms.kept]
+type = "filter"
+inputs = ["ev"]
+condition = "kind = 'keep'"
+
+[sinks.all_rows]
+type = "noop"
+inputs = ["ev"]
+
+[sinks.kept_rows]
+type = "noop"
+inputs = ["kept"]
+""")
+    rc = run_config.main([str(cfg), "--top", "0", "--top-dir", top_dir])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # one snapshot per sink + the final stop() snapshot
+    assert out["top_snapshots"] >= 3
+
+    import glob
+
+    files = sorted(glob.glob(top_dir + "/top-*.prom"))
+    assert len(files) == out["top_snapshots"]
+    first, last = parse_snapshot(files[0]), parse_snapshot(files[-1])
+    # counters monotone between snapshots; final values = real row counts
+    for key, v in first.items():
+        if key[0] == "vector_component_sent_events_total":
+            assert last[key] >= v
+    assert last[
+        ("vector_component_sent_events_total", (("component", "all_rows"),))
+    ] == 10.0
+    assert last[
+        ("vector_component_sent_events_total", (("component", "kept_rows"),))
+    ] == 5.0
+    assert ("vector_uptime_seconds", ()) in last

@@ -181,3 +181,36 @@ def test_run_dedup_ledger_null_text(spark, tmp_path, capsys):
     hashes = spark.read.parquet(ledger)
     assert hashes.count() == hashes.distinct().count() == 2  # d2/d3 share ''
     assert hashes.where("h is null").count() == 0
+
+
+def test_run_prep_embedding_dedup_stages(spark, capsys):
+    """--embedding-neardup / --semantic-dedup-cells route through the
+    banded paths (lsh_near_pairs, semantic_dedup) and thread lineage;
+    docs without an embedding row pass through (anti-join contract)."""
+    EMB = "/root/testdata/sf0.001/embeddings.parquet"
+    stats = _run(
+        capsys,
+        ["--input", INPUT, "--embeddings", EMB,
+         "--embedding-neardup", "0.9", "--semantic-dedup-cells", "8",
+         "--ctx-len", "64"],
+    )
+    st = stats["stages"]
+    assert (
+        st["fuzzy_dedup"]["rows"]
+        >= st["embedding_neardup"]["rows"]
+        >= st["semantic_dedup"]["rows"]
+        == stats["rows_clean"]
+        > 0
+    )
+    assert st["semantic_dedup"]["n_cells"] == 8
+    # lineage arithmetic: dropped counts tie the stage rows together
+    surv = st["embedding_neardup"]["rows"]
+    assert st["semantic_dedup"]["dropped"] >= 0
+    assert surv - st["semantic_dedup"]["rows"] == st["semantic_dedup"]["dropped"]
+
+
+def test_run_prep_embedding_flags_require_embeddings():
+    import run_prep
+
+    with pytest.raises(SystemExit):
+        run_prep.main(["--input", INPUT, "--semantic-dedup-cells", "8"])

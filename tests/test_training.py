@@ -94,7 +94,7 @@ def test_hamming_banding_matches_brute_force(spark):
 def test_brute_force_topk_vs_numpy(spark):
     import numpy as np
 
-    from vector_spark.training.similarity import brute_force_topk
+    from vector_spark.training.baselines import brute_force_topk
 
     rng = np.random.RandomState(7)
     vecs = rng.randn(20, 8).astype("float32")
@@ -163,7 +163,8 @@ def test_multimodal_plumbing(spark):
 def test_ivf_topk_exact_and_recall(spark):
     """nprobe == n_cells must equal brute force exactly; nprobe=2/8
     trades recall for a ~4x smaller scored set but keeps recall high."""
-    from vector_spark.training.similarity import brute_force_topk, ivf_topk
+    from vector_spark.training.baselines import brute_force_topk
+    from vector_spark.training.similarity import ivf_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter("vec_id < 10").select(
@@ -187,7 +188,8 @@ def test_lsh_near_pairs_recall(spark):
     with no cartesian product in the plan."""
     import numpy as np
 
-    from vector_spark.training.similarity import all_pairs_neardup, lsh_near_pairs
+    from vector_spark.training.baselines import all_pairs_neardup
+    from vector_spark.training.similarity import lsh_near_pairs
 
     rng = np.random.RandomState(3)
     dim, rows = 16, []
@@ -333,8 +335,8 @@ def test_ivf_lloyd_refinement(spark):
     """Lloyd rounds must not increase inertia (monotone k-means
     guarantee) and the refined quantizer keeps the exact-mode contract
     (nprobe == n_cells still equals brute force)."""
+    from vector_spark.training.baselines import brute_force_topk
     from vector_spark.training.similarity import (
-        brute_force_topk,
         ivf_centroids,
         ivf_centroids_lloyd,
         ivf_inertia,

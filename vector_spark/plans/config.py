@@ -576,9 +576,13 @@ def _t_lua(df, cfg):
     schema Spark requires where Lua events are dynamically typed.
     Deliberately row-at-a-time inside Arrow batches: per-event
     scripting IS the semantic; hot paths belong in remap/SQL, exactly
-    as the reference docs steer users from lua to VRL. Timer/scheduled
-    hooks need applyInPandasWithState (streaming/pipeline.py
-    streaming_reduce_ends_when is the worked example)."""
+    as the reference docs steer users from lua to VRL.
+
+    The full embedded-runtime contract — `hooks.init` / `hooks.shutdown`
+    and `timers = [{interval_seconds, handler}]` with state persisting
+    across every hook — dispatches to _lua_runtime (single ordered
+    replay group, event-time timers); stateless process-only configs
+    stay on the parallel mapInPandas path below."""
     import textwrap
 
     import pandas as pd
@@ -586,7 +590,10 @@ def _t_lua(df, cfg):
 
     schema_ddl = cfg["schema"]
     names = [f.name for f in StructType.fromDDL(schema_ddl).fields]
-    hook_name = (cfg.get("hooks") or {}).get("process")
+    hooks_cfg = cfg.get("hooks") or {}
+    if cfg.get("timers") or hooks_cfg.get("init") or hooks_cfg.get("shutdown"):
+        return _lua_runtime(df, cfg, names, schema_ddl)
+    hook_name = hooks_cfg.get("process")
     src = textwrap.dedent(cfg["source"]) if "source" in cfg else None
 
     def run(batches):
@@ -613,6 +620,94 @@ def _t_lua(df, cfg):
                 yield pd.DataFrame(out_rows).reindex(columns=names)
 
     return df.mapInPandas(run, schema_ddl)
+
+
+def _lua_runtime(df, cfg, names, schema_ddl):
+    """Embedded-runtime contract: init/process/shutdown hooks + interval
+    timers with state shared across all of them (src/transforms/lua/v2/
+    mod.rs:118-132 Lua{hook_init, hook_process, hook_shutdown, timers},
+    lib/vector-core/src/transform/runtime_transform.rs RuntimeTransform —
+    init at start, process per event, each timer's handler every
+    interval, shutdown at end, one VM throughout).
+
+    The reference runs lua as ONE serial TaskTransform — a single Lua VM
+    consuming the whole event stream in order with VM-global state. The
+    faithful batch mapping is therefore a SINGLE ordered applyInPandas
+    group: all events sorted by `timestamp_field` (default "ts"),
+    replayed through init → (timer fires ∥ process) → shutdown in one
+    shared Python module namespace. Serial-by-design is the same scale
+    ceiling as the reference's own lua transform.
+
+    Documented divergence: batch data has no wall clock, so "every N
+    seconds" reads as EVENT-TIME boundaries — timer k next fires at
+    t_first + i*interval and fires (in next-fire order, ties by timer
+    index) before the first event at/past that boundary; boundaries
+    past the last event never fire (shutdown covers the tail, as in the
+    reference's drain). Wall-clock timers for live streams remain the
+    applyInPandasWithState path (streaming/pipeline.py)."""
+    import textwrap
+
+    import pandas as pd
+
+    timers = cfg.get("timers") or []
+    hooks_cfg = cfg.get("hooks") or {}
+    ts_field = cfg.get("timestamp_field", "ts")
+    if timers and ts_field not in df.columns:
+        raise ConfigError(
+            f"lua timers replay on event time: column {ts_field!r} not in input "
+            f"(set timestamp_field to the event-time column)"
+        )
+    src = textwrap.dedent(cfg.get("source", ""))
+
+    def fn(pdf):
+        module_env: dict = {}
+        exec(compile(src, "<lua-source>", "exec"), module_env)
+
+        def hook(name):
+            h = hooks_cfg.get(name)
+            return module_env[h] if h else None
+
+        h_init, h_process, h_shutdown = hook("init"), hook("process"), hook("shutdown")
+        emitted: list = []
+        emit = emitted.append
+        if ts_field in pdf.columns and len(pdf):
+            pdf = pdf.sort_values(ts_field, kind="stable")
+        if h_init:
+            h_init(emit)
+        fires: list[tuple[float, int]] = []
+        handlers = []
+        tsec = None
+        if timers and len(pdf):
+            tcol = pdf[ts_field]
+            tsec = (
+                tcol.astype("int64") / 1e9
+                if str(tcol.dtype).startswith("datetime")
+                else tcol.astype(float)
+            )
+            t0 = float(tsec.iloc[0])
+            fires = [(t0 + float(t["interval_seconds"]), i) for i, t in enumerate(timers)]
+            handlers = [module_env[t["handler"]] for t in timers]
+        for idx, rec in enumerate(pdf.to_dict("records")):
+            if fires:
+                ts_e = float(tsec.iloc[idx])
+                while True:
+                    due, ti = min(fires)
+                    if due > ts_e:
+                        break
+                    handlers[ti](emit)
+                    fires[fires.index((due, ti))] = (
+                        due + float(timers[ti]["interval_seconds"]),
+                        ti,
+                    )
+            if h_process:
+                h_process(rec, emit)
+        if h_shutdown:
+            h_shutdown(emit)
+        if not emitted:
+            return pd.DataFrame(columns=names)
+        return pd.DataFrame(emitted).reindex(columns=names)
+
+    return df.groupBy(F.lit(1).alias("__lua_g")).applyInPandas(fn, schema_ddl)
 
 
 def _t_add_tags(df, cfg):
@@ -760,18 +855,30 @@ class CompiledTopology:
     outputs: dict[str, DataFrame] = field(default_factory=dict)
     persisted: list[DataFrame] = field(default_factory=list)
 
-    def run(self) -> dict[str, object]:
+    def run(self, top=None) -> dict[str, object]:
         """Execute every sink; returns per-sink results (row count for
         writes, collected rows for `memory`). Fan-out caches are
         released when the run completes (no leaked blocks across
-        repeated runs in one session)."""
+        repeated runs in one session). `top` (plans/top.py TopMonitor)
+        records per-sink cumulative row counts — batch writes count via
+        an Observation riding the same job (no second scan), streaming
+        sinks via query progress — and snapshots after every sink, so a
+        run yields a monotone internal-metrics series (`vector top`)."""
+        from pyspark.sql import Observation
+
         results = {}
         for name, df in self.sinks.items():
             cfg = self.sink_configs[name]
             kind = cfg["type"]
             if df.isStreaming:
-                results[name] = self._run_streaming_sink(name, df, cfg)
+                results[name] = self._run_streaming_sink(name, df, cfg, top=top)
+                if top is not None:
+                    top.snapshot()
                 continue
+            obs = None
+            if top is not None and kind in ("parquet", "noop", "blackhole"):
+                obs = Observation(f"__top_{name}")
+                df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             if kind == "parquet":
                 writer = df.write.mode(cfg.get("mode", "overwrite"))
                 if cfg.get("partition_by"):
@@ -788,11 +895,17 @@ class CompiledTopology:
                 results[name] = "shown"
             else:
                 raise ConfigError(f"unknown sink type {kind!r}")
+            if top is not None:
+                if obs is not None:
+                    top.record(name, obs.get["rows"])
+                elif kind == "memory":
+                    top.record(name, len(results[name]))
+                top.snapshot()
         for df in self.persisted:
             df.unpersist()
         return results
 
-    def _run_streaming_sink(self, name: str, df: DataFrame, cfg: dict):
+    def _run_streaming_sink(self, name: str, df: DataFrame, cfg: dict, top=None):
         """A sink fed by a streaming source runs as an availableNow
         micro-batch query: `parquet` sinks go through the TableSink
         foreachBatch bridge (idempotent partition-replacing batches,
@@ -833,6 +946,10 @@ class CompiledTopology:
                 output_mode=cfg.get("output_mode", "append"),
             )
             q.awaitTermination()
+            if top is not None:
+                top.record(
+                    name, sum(int(p["numInputRows"]) for p in q.recentProgress)
+                )
             return "written"
         if kind == "memory":
             q = (
@@ -843,6 +960,10 @@ class CompiledTopology:
                 .start()
             )
             q.awaitTermination()
+            if top is not None:
+                top.record(
+                    name, sum(int(p["numInputRows"]) for p in q.recentProgress)
+                )
             return df.sparkSession.table(f"__cfg_{name}").collect()
         raise ConfigError(f"sink type {kind!r} does not support streaming inputs")
 
@@ -1035,6 +1156,178 @@ def compile_config(
     return CompiledTopology(
         sinks=sink_dfs, sink_configs=dict(sinks), outputs=built, persisted=persisted
     )
+
+
+# ------------------------------------------------------------- reload/diff
+
+
+@dataclass
+class Difference:
+    """One section of a config diff (src/config/diff.rs Difference):
+    names to remove, to change, to add — relative to the old config."""
+
+    to_remove: set[str] = field(default_factory=set)
+    to_change: set[str] = field(default_factory=set)
+    to_add: set[str] = field(default_factory=set)
+
+    @staticmethod
+    def between(old: dict, new: dict) -> "Difference":
+        return Difference(
+            to_remove={n for n in old if n not in new},
+            to_change={n for n in new if n in old and new[n] != old[n]},
+            to_add={n for n in new if n not in old},
+        )
+
+    def any_changes(self) -> bool:
+        return bool(self.to_remove or self.to_change or self.to_add)
+
+
+@dataclass
+class ConfigDiff:
+    """src/config/diff.rs ConfigDiff{sources, transforms, sinks}.
+    Transforms are compared POST macro expansion, so editing one step
+    of a compound (or one lane of a route) marks only that expanded
+    component changed — the same granularity the reference's topology
+    reload rebuilds at (src/topology/running.rs)."""
+
+    sources: Difference
+    transforms: Difference
+    sinks: Difference
+
+    def as_dict(self) -> dict:
+        return {
+            sec: {
+                "to_remove": sorted(d.to_remove),
+                "to_change": sorted(d.to_change),
+                "to_add": sorted(d.to_add),
+            }
+            for sec, d in (
+                ("sources", self.sources),
+                ("transforms", self.transforms),
+                ("sinks", self.sinks),
+            )
+        }
+
+
+def _parse(config, env=None) -> dict:
+    if isinstance(config, str):
+        import tomllib
+
+        return tomllib.loads(interpolate_env(config, env))
+    return config
+
+
+def diff_config(old, new, env: dict[str, str] | None = None) -> ConfigDiff:
+    """Compare two configs component-by-component (diff.rs)."""
+    o, n = _parse(old, env), _parse(new, env)
+    return ConfigDiff(
+        sources=Difference.between(o.get("sources", {}), n.get("sources", {})),
+        transforms=Difference.between(
+            expand_macros(o.get("transforms", {})), expand_macros(n.get("transforms", {}))
+        ),
+        sinks=Difference.between(o.get("sinks", {}), n.get("sinks", {})),
+    )
+
+
+# streaming-stateful transform types: their compiled form carries
+# operator state inside the sink's checkpoint (watermarked aggregation /
+# dedupe state store, applyInPandasWithState), which Spark will refuse
+# to restore under a changed plan.
+_STATEFUL_TYPES = {"aggregate", "dedupe", "reduce"}
+
+
+def recompile(
+    spark: SparkSession,
+    old_config,
+    new_config,
+    env: dict[str, str] | None = None,
+    purge_removed: bool = False,
+) -> tuple["CompiledTopology", ConfigDiff]:
+    """Config reload (src/topology/running.rs:1-751 + diff.rs): compile
+    `new_config` so that a following run continues where the old one
+    stopped for every component the diff left untouched, and tears down
+    what was removed.
+
+    What "reuse" means in the availableNow world: a sink's streaming
+    checkpoint holds its source offsets (+ any stateful-operator state).
+    - sink untouched, upstream chain untouched → checkpoint kept: the
+      next run processes only data that arrived since the old run (the
+      reference keeps the task running; this is the batch equivalent).
+    - upstream chain changed but every changed piece is STATELESS
+      (filter/remap/parsers/...) → checkpoint kept: offsets are
+      preserved and the new logic applies from the next file on — the
+      reference's live-swap semantic (in-flight state is per-component
+      and stateless components have none).
+    - upstream chain changed and the chain contains a stateful
+      streaming transform (aggregate/dedupe/reduce) → the checkpoint is
+      ROTATED to a deterministic sibling dir (`<ck>-gen<digest>` of the
+      new chain's canonical config), because Spark fuses offsets and
+      operator state in one checkpoint and refuses incompatible state
+      restores. Divergence from the reference (which keeps offsets and
+      drops only the component's in-memory state) — documented; the
+      digest makes re-runs of the SAME new config resume normally.
+    - removed sinks simply don't compile; `purge_removed=True` also
+      deletes their checkpoint dirs (the reference drops the task's
+      resources on removal).
+    """
+    import hashlib
+    import json as _json
+
+    o, n = _parse(old_config, env), _parse(new_config, env)
+    diff = diff_config(o, n, env)
+
+    n = {**n}  # shallow-copy: we may rewrite sink checkpoint paths
+    sinks = {name: dict(cfg) for name, cfg in n.get("sinks", {}).items()}
+    expanded = expand_macros(n.get("transforms", {}))
+    sources = n.get("sources", {})
+
+    def upstream_closure(cfg) -> set[str]:
+        seen: set[str] = set()
+        stack = list(cfg.get("inputs", []))
+        while stack:
+            u = stack.pop()
+            if u in seen:
+                continue
+            seen.add(u)
+            if u in expanded:
+                stack.extend(expanded[u].get("inputs", []))
+        return seen
+
+    changed = diff.transforms.to_change | diff.transforms.to_add
+    changed_sources = diff.sources.to_change | diff.sources.to_add
+    for name, cfg in sinks.items():
+        ck = cfg.get("checkpoint")
+        if not ck:
+            continue
+        chain = upstream_closure(cfg)
+        dirty = (
+            name in diff.sinks.to_change
+            or bool(chain & changed)
+            or bool(chain & changed_sources)
+        )
+        stateful = any(
+            expanded[u].get("type") in _STATEFUL_TYPES for u in chain if u in expanded
+        )
+        if dirty and stateful:
+            material = [cfg] + [
+                expanded[u] for u in sorted(chain) if u in expanded
+            ] + [sources[u] for u in sorted(chain) if u in sources]
+            digest = hashlib.md5(
+                _json.dumps(material, sort_keys=True, default=str).encode()
+            ).hexdigest()[:8]
+            cfg["checkpoint"] = f"{ck}-gen{digest}"
+    n["sinks"] = sinks
+
+    if purge_removed:
+        import shutil
+
+        old_sinks = _parse(old_config, env).get("sinks", {})
+        for name in diff.sinks.to_remove:
+            ck = old_sinks.get(name, {}).get("checkpoint")
+            if ck:
+                shutil.rmtree(ck, ignore_errors=True)
+
+    return compile_config(spark, n, env), diff
 
 
 def topology_dot(config) -> str:
