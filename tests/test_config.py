@@ -804,3 +804,37 @@ inputs = ["kept"]
         ("vector_component_sent_events_total", (("component", "kept_rows"),))
     ] == 5.0
     assert ("vector_uptime_seconds", ()) in last
+
+
+def test_internal_metrics_source(spark, tmp_path):
+    """internal_metrics source: TopMonitor exposition snapshots re-enter
+    the topology as metric events (src/sources/internal_metrics.rs
+    plan position), composable with transforms and sinks."""
+    from vector_spark.plans.top import TopMonitor
+
+    top_dir = str(tmp_path / "snaps")
+    mon = TopMonitor(spark, top_dir)
+    mon.record("lane_a", 7)
+    mon.snapshot()
+    mon.record("lane_a", 3)
+    mon.record("lane_b", 2)
+    mon.snapshot()
+
+    toml = f"""
+[sources.metrics]
+type = "internal_metrics"
+path = "{top_dir}/top-*.prom"
+
+[transforms.sent]
+type = "filter"
+inputs = ["metrics"]
+condition = "name = 'vector_component_sent_events_total'"
+
+[sinks.out]
+type = "memory"
+inputs = ["sent"]
+"""
+    rows = compile_config(spark, toml).run()["out"]
+    got = {(r["labels"]["component"], r["value"]) for r in rows}
+    # snapshot 1: a=7; snapshot 2: a=10, b=2 — counters cumulative
+    assert got == {("lane_a", 7.0), ("lane_a", 10.0), ("lane_b", 2.0)}

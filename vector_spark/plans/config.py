@@ -61,10 +61,37 @@ def _src_stream_parquet(spark, cfg):
     return reader.parquet(cfg["path"])
 
 
+def _src_internal_metrics(spark, cfg):
+    """Vector's internal_metrics source (src/sources/internal_metrics.rs):
+    the pipeline's own instrumentation re-enters the topology as metric
+    events. Batch shape: read the Prometheus exposition snapshots a
+    TopMonitor run wrote (plans/top.py, `run_config.py --top`) — one
+    event per metric line: (snapshot file, name, labels map, value,
+    timestamp_ms). Composes with every transform/sink like any other
+    source (e.g. internal_metrics → filter → metric_to_log → parquet).
+    `drop_invalid` (default true) drops comment/HELP/TYPE lines."""
+    from vector_spark.functions.metrics_codec import parse_prometheus
+
+    lines = spark.read.text(cfg["path"])
+    g = parse_prometheus(F.col("value"))
+    df = lines.select(
+        F.input_file_name().alias("snapshot"),
+        g["name"].alias("name"),
+        g["labels"].alias("labels"),
+        g["value"].alias("value"),
+        g["timestamp_ms"].alias("timestamp_ms"),
+        g["error"].alias("error"),
+    )
+    if cfg.get("drop_invalid", True):
+        df = df.where(F.col("error").isNull()).drop("error")
+    return df
+
+
 SOURCES = {
     "parquet": _src_parquet,
     "generator": _src_generator,
     "stream_parquet": _src_stream_parquet,
+    "internal_metrics": _src_internal_metrics,
 }
 
 
