@@ -842,7 +842,7 @@ def q_minhash_signature(spark, sf):
     return minhash_signatures(docs, n=3)
 
 
-# ---- SimHash (16-bit, portable) ----------------------------------------
+# ---- SimHash (48-bit, portable; 16-bit saturates at ~10^5 docs) ---------
 
 
 @_q(
@@ -856,7 +856,7 @@ def q_minhash_signature(spark, sf):
     "SELECT doc_id, "
     + " + ".join(
         f"(CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(16)
+        for j in range(48)
     )
     + " AS simhash FROM hashed GROUP BY doc_id",
 )
@@ -864,7 +864,7 @@ def q_simhash(spark, sf):
     from vector_spark.training.dedup import simhash
 
     docs = _t(spark, sf, "documents")
-    return simhash(docs, bits=16)
+    return simhash(docs, bits=48)
 
 
 # ---- transform #12 logfmt_parser (logfmt_parser.rs:15-66) ------------
@@ -1208,7 +1208,7 @@ _SIMHASH_CTE = (
     "sims AS (SELECT doc_id, "
     + " + ".join(
         f"(CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(16)
+        for j in range(48)
     )
     + " AS simhash FROM hashed GROUP BY doc_id)"
 )
@@ -1225,10 +1225,15 @@ _SIMHASH_CTE = (
     """,
 )
 def q_hamming_neardup(spark, sf):
+    # 48-bit fingerprints + n_seg=6 combination banding (20 combos on
+    # 24-bit keys): the n_seg=d+1 default on 16 bits went quadratic at
+    # 500k docs (fingerprint space saturated; 202 s at sf1.0 → ~3 s).
     from vector_spark.training.dedup import hamming_near_pairs, simhash
 
     docs = _t(spark, sf, "documents")
-    return hamming_near_pairs(simhash(docs, bits=16), max_dist=3, id_col="doc_id")
+    return hamming_near_pairs(
+        simhash(docs, bits=48), max_dist=3, bits=48, n_seg=6, id_col="doc_id"
+    )
 
 
 # ---- §2.4 parse_apache_log (vendor format, grok-expanded) ------------

@@ -55,8 +55,16 @@ def test_simhash_properties(spark):
     vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
     assert vals[1] == vals[2]  # identical text → identical fingerprint
     assert all(0 <= v < (1 << 16) for v in vals.values())
-    near = {(r["id_a"], r["id_b"]) for r in hamming_near_pairs(sh, max_dist=3).collect()}
+    near = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_near_pairs(sh, max_dist=3, bits=16).collect()
+    }
     assert (1, 2) in near
+    # default width (48-bit) round-trips too
+    sh48 = simhash(_docs(spark))
+    vals48 = {r["doc_id"]: r["simhash"] for r in sh48.collect()}
+    assert vals48[1] == vals48[2]
+    assert all(0 <= v < (1 << 48) for v in vals48.values())
 
 
 def test_hamming_banding_matches_brute_force(spark):
@@ -73,10 +81,10 @@ def test_hamming_banding_matches_brute_force(spark):
     rows += [(1000, rows[0][1]), (1001, rows[0][1] ^ 0b101), (1002, rows[0][1] ^ 0b1110001)]
     sim = spark.createDataFrame(rows, "doc_id int, simhash long")
 
-    for d in (1, 2, 3):
+    for d, n_seg in [(1, None), (2, None), (3, None), (2, 4), (3, 6), (3, 8)]:
         got = {
             (r["id_a"], r["id_b"], r["hamming"])
-            for r in hamming_near_pairs(sim, max_dist=d).collect()
+            for r in hamming_near_pairs(sim, max_dist=d, bits=16, n_seg=n_seg).collect()
         }
         expected = {
             (a, b, bin(x ^ y).count("1"))
@@ -84,9 +92,14 @@ def test_hamming_banding_matches_brute_force(spark):
             for (b, y) in rows
             if a < b and bin(x ^ y).count("1") <= d
         }
-        assert got == expected, f"mismatch at max_dist={d}"
+        assert got == expected, f"mismatch at max_dist={d} n_seg={n_seg}"
 
-    plan = hamming_near_pairs(sim, max_dist=3)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        hamming_near_pairs(sim, max_dist=3, bits=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

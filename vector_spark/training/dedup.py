@@ -201,11 +201,20 @@ def lsh_candidate_pairs(
     return _release_after_compute(out.distinct(), signatures)
 
 
-def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 48, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash over distinct whitespace tokens: bit j of the fingerprint
     is the sign of sum(±1) over tokens' hash-bit j. Expressed as one
     explode + one groupBy with `bits` conditional sums — fully
-    map-side-combinable, no window functions."""
+    map-side-combinable, no window functions.
+
+    `bits` must be <= 60 (md5_long yields 60 portable bits). The default
+    is 48: a 16-bit fingerprint saturates its 65k-value space at ~10^5
+    docs, at which point "Hamming distance <= d" stops meaning "similar"
+    (measured: 14% of ALL pairs within d=3 at 10^3 docs) and the banded
+    near-pair join degrades to quadratic. 48 bits keeps collision-born
+    false neighbors negligible through ~10^12 docs."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
     toks = docs.repartition(id_col).select(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
     )
@@ -227,7 +236,11 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
 
 
 def hamming_near_pairs(
-    sim: DataFrame, max_dist: int = 2, bits: int = 16, id_col: str = "doc_id"
+    sim: DataFrame,
+    max_dist: int = 2,
+    bits: int = 48,
+    id_col: str = "doc_id",
+    n_seg: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance ≤ max_dist. Result is
     identical to the brute-force all-pairs scan; the plan is built for
@@ -237,23 +250,42 @@ def hamming_near_pairs(
        combined). Near-dup corpora concentrate massively — a segment-
        bucket join over raw docs would be quadratic in the hottest
        duplicate group, which is precisely the skew this step removes.
-    2. BAND over DISTINCT fingerprints: pigeonhole split into
-       max_dist+1 segments — a pair within distance max_dist must agree
-       exactly on ≥1 segment — so candidates come from per-segment
-       equi-joins over the (small) distinct-value set, verified exactly
-       with bit_count(xor). No cross join anywhere.
+    2. BAND over DISTINCT fingerprints: pigeonhole split into `n_seg`
+       segments — a pair within distance max_dist differs in ≤ max_dist
+       segments, so it agrees EXACTLY on some (n_seg − max_dist)-subset
+       of them (Manku/Jain/Sarma, WWW'07 §3, generalized from the
+       classic n_seg = max_dist+1 case). Every fingerprint is exploded
+       into C(n_seg, max_dist) combination keys (hash of combo id + the
+       chosen segment values) and ONE self-equi-join over the distinct
+       fingerprint set yields candidates, verified exactly with
+       bit_count(xor). No cross join anywhere; one shuffle of
+       C(n_seg, max_dist) × |distinct fps| narrow rows.
     3. EXPAND: surviving fingerprint pairs join back to their member
        lists and explode — output-bound work; intra-group pairs
        (distance 0) explode directly. Groups are disjoint so no final
        distinct is needed.
 
+    `n_seg` is the scale dial: the combination key carries
+    bits·(n_seg−max_dist)/n_seg bits, and each key bucket goes
+    quadratic once distinct fingerprints ≫ 2^key_bits. The default
+    max_dist+1 (key = one segment) is right for ≤ ~2^(bits/(d+1))
+    docs; raise it as the corpus grows (e.g. bits=48, d=3, n_seg=6 →
+    20 combos on 24-bit keys: good to ~10^7 distinct fps; n_seg=8 →
+    56 combos on 30-bit keys: ~10^9). Cost grows as C(n_seg, d) while
+    bucket load shrinks exponentially — measured at 500k docs,
+    n_seg=6 turned a 202 s run into single-digit seconds.
+
     At extreme scale the duplicate-group member lists are the exact-dup
     mass; run exact dedup first (standard pipeline order) or emit
     (keeper, member) edges instead of all pairs.
     """
+    import itertools
+
+    n_seg = n_seg or (max_dist + 1)
+    if not max_dist < n_seg <= bits:
+        raise ValueError(f"need max_dist < n_seg <= bits, got {max_dist=} {n_seg=} {bits=}")
     groups = sim.groupBy("simhash").agg(F.collect_list(id_col).alias("ids"))
 
-    n_seg = max_dist + 1
     base, rem = divmod(bits, n_seg)
     bounds: list[tuple[int, int]] = []
     start = 0
@@ -262,23 +294,26 @@ def hamming_near_pairs(
         bounds.append((start, ln))
         start += ln
 
-    dist = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    def seg_expr(i: int) -> Column:
+        seg_start, seg_len = bounds[i]
+        return F.shiftright(F.col("simhash"), seg_start).bitwiseAND(F.lit((1 << seg_len) - 1))
+
+    combos = list(itertools.combinations(range(n_seg), n_seg - max_dist))
+    keys = [
+        F.xxhash64(F.lit(ci), *[seg_expr(i) for i in combo])
+        for ci, combo in enumerate(combos)
+    ]
     fps = groups.select(F.col("simhash"))
-    pair_sets = []
-    for seg_start, seg_len in bounds:
-        seg = F.shiftright(F.col("simhash"), seg_start).bitwiseAND(F.lit((1 << seg_len) - 1))
-        keyed = fps.select(F.col("simhash"), seg.alias("seg"))
-        a = keyed.select(F.col("simhash").alias("sa"), "seg")
-        b = keyed.select(F.col("simhash").alias("sb"), "seg")
-        pair_sets.append(
-            a.join(b, "seg")
-            .filter((F.col("sa") < F.col("sb")) & (dist <= max_dist))
-            .select("sa", "sb", dist.alias("hamming"))
-        )
-    fp_pairs = pair_sets[0]
-    for p in pair_sets[1:]:
-        fp_pairs = fp_pairs.unionByName(p)
-    fp_pairs = fp_pairs.distinct()
+    keyed = fps.select(F.col("simhash"), F.explode(F.array(*keys)).alias("bkey"))
+    a = keyed.select(F.col("simhash").alias("sa"), "bkey")
+    b = keyed.select(F.col("simhash").alias("sb"), "bkey")
+    dist = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    fp_pairs = (
+        a.join(b, "bkey")
+        .filter((F.col("sa") < F.col("sb")) & (dist <= max_dist))
+        .select("sa", "sb", dist.alias("hamming"))
+        .distinct()
+    )
 
     ga = groups.select(F.col("simhash").alias("sa"), F.col("ids").alias("ids_a"))
     gb = groups.select(F.col("simhash").alias("sb"), F.col("ids").alias("ids_b"))
