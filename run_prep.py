@@ -81,7 +81,9 @@ def main(argv=None) -> int:
     ap.add_argument("--semantic-dedup-cells", type=int, default=None,
                     help="SemDeDup (Abbas et al. 2023): cluster embeddings into N cells "
                     "and drop rows with a smaller-id same-cell neighbor above "
-                    "--semantic-dedup-threshold; pair work is cell-bounded (banded path)")
+                    "--semantic-dedup-threshold; pair work is cell-bounded (banded path). "
+                    "0 = auto-size cells from the corpus (ceil(n/512), min 16) so total "
+                    "pair work stays linear as the input grows")
     ap.add_argument("--semantic-dedup-threshold", type=float, default=0.35)
     ap.add_argument("--embedding-neardup", type=float, default=None, metavar="COS",
                     help="embedding near-dup dedup: LSH-banded candidate pairs at "
@@ -92,7 +94,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if args.dsir_target and not args.dsir_keep:
         ap.error("--dsir-target requires --dsir-keep")
-    if (args.semantic_dedup_cells or args.embedding_neardup is not None) and not args.embeddings:
+    if (
+        args.semantic_dedup_cells is not None or args.embedding_neardup is not None
+    ) and not args.embeddings:
         ap.error("--semantic-dedup-cells / --embedding-neardup require --embeddings")
 
     from vector_spark.session import get_spark
@@ -209,7 +213,7 @@ def main(argv=None) -> int:
             fuzzy.unpersist()
             fuzzy, n_fuzzy = nd, n_nd
 
-        if args.semantic_dedup_cells:
+        if args.semantic_dedup_cells is not None:
             from vector_spark.training.similarity import semantic_dedup
 
             t0 = time.time()

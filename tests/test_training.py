@@ -935,6 +935,26 @@ def test_semantic_dedup_crafted(spark):
     }
 
 
+def test_semantic_dedup_auto_cells(spark):
+    """n_cells=0 sizes the codebook from the data: ceil(n/cell_target)
+    cells, floor 16 — per-cell quadratic work stays bounded so total
+    pair work is linear in the corpus (the SemDeDup paper's contract)."""
+    from vector_spark.training.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5 == j) + 0.01 * i for j in range(4)]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(emb, threshold=0.99, cell_target=4)
+    rows = out.collect()
+    cells = {r["cell_id"] for r in rows}
+    # ceil(64/4) = 16 candidate centroids; some may win no rows
+    assert len(rows) == 64 and 4 < len(cells) <= 16
+    # floor: tiny input still gets 16 candidate centroids (bounded by n)
+    tiny = semantic_dedup(emb.limit(8), threshold=0.99, cell_target=512)
+    assert tiny.count() == 8
+
+
 def test_semantic_dedup_releases_cache(spark):
     """semantic_dedup persists the cell-assignment scan internally; the
     returned frame must release it — collect() auto-unpersists, and a

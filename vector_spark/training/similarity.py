@@ -293,10 +293,11 @@ def ivf_topk(
 
 def semantic_dedup(
     emb: DataFrame,
-    n_cells: int = 16,
+    n_cells: int = 0,
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_target: int = 512,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster embeddings
@@ -319,15 +320,30 @@ def semantic_dedup(
     so Spark and external engines agree bit-for-bit; pair cosines
     compare unrounded (same contract as all_pairs_neardup).
 
+    `n_cells=0` (the default) sizes the codebook from the data:
+    ceil(count / cell_target) cells, min 16 — cells stay ~cell_target
+    rows as the corpus grows, so total pair work is
+    ~cell_target x count = LINEAR, the paper's contract. A fixed
+    n_cells (the oracle-pinned registry form) is quadratic in corpus
+    size and only appropriate when n is known and bounded. At
+    billion-row scale the collected codebook itself grows (count/512
+    centroids broadcast to every executor); past ~10^8 rows raise
+    cell_target or swap the quantizer for ivf_centroids_lloyd with a
+    coarse-then-fine assignment.
+
     Emits (vec_id, cell_id, max_cos, is_dup): every input row, its
     cell (labelled by the centroid's id), the max cosine to any
     same-cell neighbor (null for singleton cells), and the dup flag.
     """
+    import math
+
     import numpy as np
 
     from vector_spark.training.dedup import md5_long
 
     spark = emb.sparkSession
+    if not n_cells:
+        n_cells = max(16, math.ceil(emb.count() / cell_target))
     cents = (
         emb.select(id_col, vec_col)
         .orderBy(md5_long(F.col(id_col).cast("string")), id_col)
