@@ -256,3 +256,48 @@ def test_regex_value_kind(spark):
     got = [r[0] for r in j.select(T.is_regex(F.col("v"))).collect()]
     assert got[0] is True and got[1] is False and got[2] in (False, None)
     assert got[3] is False
+
+
+def test_prometheus_python_mirror_parity(spark):
+    """encode_prometheus_py (the driver-side renderer plans/top.py uses
+    so a telemetry tick never schedules a Spark job) must be
+    BYTE-identical to the executor-side encode_prometheus — including
+    Java Double.toString value rendering (plain for 1e-3 <= |x| < 1e7,
+    bare-exponent scientific outside) and raw-key label sorting."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.metrics_codec import (
+        encode_prometheus,
+        encode_prometheus_py,
+    )
+
+    cases = [
+        ("up", 1.0, None, None),
+        ("vector_uptime_seconds", 3.41, {}, None),
+        ("sent_total", 12345.0, {"component": "lane_a"}, None),
+        ("rate", 417.123, {"component": "a b/c!"}, 1395066363000),
+        ("weird", float("nan"), {"k": 'v"q\\x\ny'}, None),
+        ("inf", float("inf"), {"app": "1", "app2": "2"}, None),
+        ("ninf", float("-inf"), None, -5),
+        ("big", 12345678.0, None, None),          # 1.2345678E7
+        ("huge", 1e21, None, None),               # 1.0E21
+        ("tiny", 0.0001, None, None),             # 1.0E-4
+        ("edge_lo", 0.001, None, None),           # 0.001 (plain)
+        ("edge_hi", 9999999.0, None, None),       # plain
+        ("neg", -0.25, None, None),
+        ("zero", 0.0, None, None),
+        ("negzero", -0.0, None, None),
+        ("frac", 2000000000.5, None, None),       # 2.0000000005E9
+    ]
+    df = spark.createDataFrame(
+        [(n, v, lb, ts) for n, v, lb, ts in cases],
+        "name string, value double, labels map<string,string>, ts long",
+    )
+    jvm = [
+        r[0]
+        for r in df.select(
+            encode_prometheus(F.col("name"), F.col("value"), F.col("labels"), F.col("ts"))
+        ).collect()
+    ]
+    py = [encode_prometheus_py(n, v, lb, ts) for n, v, lb, ts in cases]
+    assert py == jvm

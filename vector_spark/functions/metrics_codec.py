@@ -335,3 +335,73 @@ def encode_prometheus(
             F.concat(line, F.lit(" "), timestamp_ms.cast("string")),
         ).otherwise(line)
     return line
+
+
+def _java_double_str(x: float) -> str:
+    """Java Double.toString rendering (what Spark's cast(double as
+    string) emits): shortest round-trip digits, plain decimal for
+    1e-3 <= |x| < 1e7, else one-digit-mantissa scientific with a bare
+    exponent (1.2345678E7). Python's repr uses different thresholds
+    (1e16 / 1e-4) and e+07-style exponents, so a direct str() would
+    break byte-parity with the executor-side encoder."""
+    import math
+    from decimal import Decimal
+
+    if math.isnan(x) or math.isinf(x):
+        raise ValueError("specials are spelled by the caller")
+    if x == 0.0:
+        return "-0.0" if math.copysign(1.0, x) < 0 else "0.0"
+    sign = "-" if x < 0 else ""
+    t = Decimal(repr(abs(x))).as_tuple()
+    digits = "".join(map(str, t.digits)).rstrip("0") or "0"
+    pointpos = len(t.digits) + t.exponent  # abs(x) = 0.<digits> * 10^pointpos
+    if -2 <= pointpos <= 7:  # 1e-3 <= |x| < 1e7
+        if pointpos <= 0:
+            return f"{sign}0.{'0' * -pointpos}{digits}"
+        intp = digits[:pointpos].ljust(pointpos, "0")
+        return f"{sign}{intp}.{digits[pointpos:] or '0'}"
+    mant = digits[0] + "." + (digits[1:] or "0")
+    return f"{sign}{mant}E{pointpos - 1}"
+
+
+def encode_prometheus_py(
+    name: str,
+    value: float,
+    labels: dict[str, str] | None = None,
+    timestamp_ms: int | None = None,
+) -> str:
+    """Driver-side mirror of encode_prometheus for control-plane
+    emitters (plans/top.py snapshots): byte-identical lines with no
+    Spark job — a telemetry tick must not schedule work on the data
+    plane. Parity is pinned by
+    test_metrics_codec.test_prometheus_python_mirror_parity."""
+    import math
+    import re
+
+    def sanitize(k: str) -> str:
+        s = re.sub(r"\s+", "_", k.replace("/", "-"))
+        return re.sub(r"[^a-zA-Z_\-0-9.]", "", s)
+
+    def escape(v: str) -> str:
+        return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+    blob = ""
+    if labels:
+        blob = (
+            "{"
+            + ",".join(f'{sanitize(k)}="{escape(v)}"' for k, v in sorted(labels.items()))
+            + "}"
+        )
+    v = float(value)
+    if math.isnan(v):
+        vs = "NaN"
+    elif v == float("inf"):
+        vs = "+Inf"
+    elif v == float("-inf"):
+        vs = "-Inf"
+    else:
+        vs = _java_double_str(v)
+    line = f"{sanitize(name)}{blob} {vs}"
+    if timestamp_ms is not None:
+        line += f" {int(timestamp_ms)}"
+    return line

@@ -50,10 +50,13 @@ class TopMonitor:
             self.counters[component] = self.counters.get(component, 0) + int(rows)
 
     def snapshot(self) -> str:
-        """Write one exposition snapshot; returns the file path."""
-        from pyspark.sql import functions as F
+        """Write one exposition snapshot; returns the file path.
 
-        from vector_spark.functions.metrics_codec import encode_prometheus
+        Rendered driver-side with encode_prometheus_py (byte-parity
+        mirror of the executor encoder) — a telemetry tick must never
+        schedule a Spark job, or the interval thread would contend with
+        the data plane it is supposed to observe."""
+        from vector_spark.functions.metrics_codec import encode_prometheus_py
 
         with self._lock:
             counts = dict(self.counters)
@@ -73,15 +76,7 @@ class TopMonitor:
             for c, n in sorted(counts.items())
         ]
         rows.append(("vector_uptime_seconds", round(uptime, 3), {}))
-        df = self.spark.createDataFrame(
-            rows, "name string, value double, labels map<string,string>"
-        )
-        lines = [
-            r[0]
-            for r in df.select(
-                encode_prometheus(F.col("name"), F.col("value"), F.col("labels"))
-            ).collect()
-        ]
+        lines = [encode_prometheus_py(n, v, lb) for n, v, lb in rows]
         path = os.path.join(self.out_dir, f"top-{seq:04d}.prom")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
