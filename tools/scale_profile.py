@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Compare two bench.py JSON outputs taken at different scale factors
+and report the per-query wall-time growth against the data-size ratio.
+
+    python tools/scale_profile.py bench_sf0.1.json bench_sf1.0.json --factor 10
+
+A query is LINEAR-OK when wall(sfB) <= factor * wall(sfA) + overhead
+(fixed overhead default 1.5 s covers constant job-submission/codegen
+cost that does not grow with data); SUPER-LINEAR rows are what round-4's
+scale proof exists to catch. Queries tainted (no clean hypervisor
+window) in either run are marked so the judge can discount them.
+
+Prints a markdown table (for NOTES/BASELINE) plus one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("small")
+    ap.add_argument("big")
+    ap.add_argument("--factor", type=float, default=10.0, help="data-size ratio big/small")
+    ap.add_argument("--overhead", type=float, default=1.5, help="fixed per-query seconds not expected to scale")
+    args = ap.parse_args()
+
+    a = json.load(open(args.small))
+    b = json.load(open(args.big))
+    ta = set(a.get("calibration", {}).get("tainted_queries", []))
+    tb = set(b.get("calibration", {}).get("tainted_queries", []))
+
+    rows = []
+    for q, sa in a["queries"].items():
+        sb = b["queries"].get(q)
+        if sb is None:
+            continue
+        ratio = sb / sa if sa > 0 else float("inf")
+        # effective growth after discounting fixed overhead on both sides
+        ga = max(sa - args.overhead, 0.05)
+        gb = max(sb - args.overhead, 0.05)
+        eff = gb / ga
+        ok = sb <= args.factor * sa + args.overhead
+        rows.append(
+            {
+                "query": q,
+                "small_s": sa,
+                "big_s": sb,
+                "ratio": round(ratio, 2),
+                "scaled_ratio": round(eff, 2),
+                "linear_ok": ok,
+                "tainted": [s for s, t in (("small", ta), ("big", tb)) if q in t] or None,
+            }
+        )
+
+    rows.sort(key=lambda r: -r["ratio"])
+    flagged = [r for r in rows if not r["linear_ok"]]
+
+    print(f"| query | sf-small s | sf-big s | ratio | verdict |")
+    print(f"|---|---|---|---|---|")
+    for r in rows:
+        verdict = "ok" if r["linear_ok"] else "**SUPER-LINEAR**"
+        if r["tainted"]:
+            verdict += f" (tainted: {','.join(r['tainted'])})"
+        print(f"| {r['query']} | {r['small_s']} | {r['big_s']} | {r['ratio']} | {verdict} |")
+    print()
+    print(
+        json.dumps(
+            {
+                "factor": args.factor,
+                "queries": len(rows),
+                "super_linear": [r["query"] for r in flagged],
+                "median_ratio": sorted(r["ratio"] for r in rows)[len(rows) // 2] if rows else None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
