@@ -90,7 +90,10 @@ def main(argv=None) -> int:
                     "cosine >= COS -> connected components -> keep the min-id "
                     "representative per cluster (banded path, linear shuffle)")
     ap.add_argument("--neardup-bands", type=int, default=4)
-    ap.add_argument("--neardup-planes", type=int, default=8)
+    ap.add_argument("--neardup-planes", type=int, default=0,
+                    help="planes per LSH band; 0 = auto-size the bucket space "
+                         "from the corpus (ceil(log2(n/256)) — keeps candidate "
+                         "volume linear as the corpus grows)")
     args = ap.parse_args(argv)
     if args.dsir_target and not args.dsir_keep:
         ap.error("--dsir-target requires --dsir-keep")

@@ -234,6 +234,30 @@ def test_lsh_near_pairs_recall(spark):
     plan = lsh_near_pairs(emb, 0.9, dim=dim)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
+    # auto-sized bucket space (band_planes=0, the user-facing default)
+    # keeps exact-verify precision and finds the same clustered truth
+    got_auto = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_pairs(emb, threshold=0.9, dim=dim, n_bands=4).collect()
+    }
+    assert got_auto <= truth
+    assert len(got_auto & truth) / len(truth) >= 0.9
+
+
+def test_auto_band_planes_keeps_bucket_occupancy_linear():
+    """The plane count must grow with log2(n): a fixed bucket space
+    makes same-bucket pair work quadratic in the corpus (the sf10
+    blowup this function exists to prevent)."""
+    from vector_spark.training.similarity import auto_band_planes
+
+    assert auto_band_planes(20_000) == 7       # ~2^7=128 buckets, ~156/bucket
+    assert auto_band_planes(200_000) == 10     # 10x data -> ~3 more bits
+    assert auto_band_planes(2_000_000) == 13
+    assert auto_band_planes(100) == 4          # floor
+    # expected rows/bucket stays bounded by ~bucket_target across decades
+    for n in (10**4, 10**6, 10**8, 10**12):
+        assert n / 2 ** auto_band_planes(n) <= 256
+
 
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     """Write both sides bucketed by doc_id → equi-join and per-key agg

@@ -56,6 +56,12 @@ def get_spark(
         # last-write-wins for user-written map_concat expressions
         # (AddTags itself filters colliding keys and no longer needs it)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # shuffle files are only deleted when their ShuffleDependency is
+        # GC'd; with a large heap the default 30min periodic GC lets a
+        # long session accumulate the full history of shuffle spill on
+        # local disk (measured: ~78 GB over a 46-min sf10 bench run →
+        # ENOSPC). 2min bounds scratch usage at negligible GC cost.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

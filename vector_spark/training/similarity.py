@@ -422,51 +422,76 @@ def semantic_dedup(
     return _release_after_compute(out, assigned)
 
 
+def auto_band_planes(n_rows: int, bucket_target: int = 256, floor: int = 4) -> int:
+    """Planes per band so a band's bucket space holds ~bucket_target
+    rows per bucket: p = ceil(log2(n / bucket_target)). A FIXED p is a
+    fixed 2^p-bucket space, and same-bucket pair work grows
+    quadratically with the corpus (measured: 8 planes = 256 buckets was
+    fine at 20k vectors and an ENOSPC-grade 312M-candidate blowup at
+    200k); growing p with log2(n) keeps expected bucket occupancy — and
+    with it per-band candidate count, n x bucket_target — LINEAR."""
+    import math
+
+    return max(floor, math.ceil(math.log2(max(n_rows / max(bucket_target, 1), 2.0))))
+
+
 def lsh_near_pairs(
     emb: DataFrame,
     threshold: float,
     dim: int,
     n_bands: int = 4,
-    band_planes: int = 8,
+    band_planes: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_target: int = 256,
 ) -> DataFrame:
     """Near-dup PAIRS at scale: LSH banding instead of the all-pairs
     scan. Each band hashes every vector to a `band_planes`-bit
     hyperplane-sign bucket (independent plane set per band, seeded by
     band index); same-bucket pairs within ANY band become candidates
-    via a per-band equi-join — linear shuffle, no cross join and no
-    driver-side collect (the scale path `all_pairs_neardup`'s
-    broadcast-build contract can't reach). An exact cosine verify
-    keeps precision at 100%; recall is tunable with n_bands /
-    band_planes (more bands → higher recall, more candidates).
+    via a per-band equi-join — no cross join and no driver-side collect
+    (the shape `all_pairs_neardup`'s broadcast-build contract can't
+    reach). An exact cosine verify keeps precision at 100%; recall is
+    tunable with n_bands / band_planes (more bands → higher recall,
+    more candidates; more planes → fewer candidates, lower recall — at
+    high p favor more bands, or the semantic_dedup cell path whose
+    recall is occupancy- not angle-driven).
 
-    Vectors ride along through the candidate join (fine while rows are
-    ~KB); at extreme scale store the bucketed table sorted by bucket
-    and join back per side instead."""
+    `band_planes=0` (the default) auto-sizes the bucket space from the
+    data: p = ceil(log2(count / bucket_target)), the same
+    grow-the-codebook contract as semantic_dedup's n_cells=0. A fixed p
+    (the oracle-pinned registry form) is quadratic in corpus size —
+    2^p buckets saturate — and only appropriate when n is known and
+    bounded. Costs one count() job.
+
+    Candidates travel as bare (id_a, id_b) pairs — vectors join back
+    AFTER the cross-band dedup, so the wide rows cross the shuffle once
+    per SIDE, not once per candidate (at 200k x dim-64 the carry-through
+    form shuffled ~160 GB and died; join-back ships 16-byte pairs and
+    lets AQE broadcast the vector side when it fits)."""
+    if not band_planes:
+        band_planes = auto_band_planes(emb.count(), bucket_target)
     pair_sets = []
     for band in range(n_bands):
         planes = random_hyperplanes(dim, band_planes, seed=1000 + band)
         keyed = emb.select(
-            F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+            F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
         )
-        a = keyed.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket"
-        )
-        b = keyed.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket"
-        )
+        a = keyed.select(F.col(id_col).alias("id_a"), "bucket")
+        b = keyed.select(F.col(id_col).alias("id_b"), "bucket")
         pair_sets.append(
-            a.join(b, "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "__va", "__vb")
+            a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
         )
     cands = pair_sets[0]
     for p in pair_sets[1:]:
         cands = cands.unionByName(p)
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     cos = cosine(F.col("__va"), F.col("__vb"))
     return (
         cands.dropDuplicates(["id_a", "id_b"])
+        .join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", "cos_raw")
