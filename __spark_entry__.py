@@ -3673,6 +3673,52 @@ def q_dsir_select(spark, sf):
     return dsir_select(raw, target, n_keep=200)
 
 
+# ---- VRL source-text compiler (remap.rs:21-29 `source`; round 5) -----
+# A real multi-statement VRL program — paths, arithmetic with ok/err
+# capture, a dynamic parse_json + member access, if/else-if lanes,
+# string building, del — compiled by vector_spark.vrl into ONE
+# declarative select (no per-row Python; see test_vrl.py codegen pin).
+
+_VRL_PROGRAM = """
+.value_cents = .value * 100
+.q, .qerr = .value / .value
+.k = to_int!(parse_json!(.props).k)
+if .event_type == "error" { .lane = "alert" }
+else if .value >= 50.0 { .lane = "review" }
+else { .lane = "ok" }
+.tag = upcase(.event_type) + "-" + to_string(.user_id)
+del(.props)
+"""
+
+
+@_q(
+    "vrl_compile",
+    """
+    SELECT event_id,
+           round(value * 100, 4) AS value_cents,
+           CASE WHEN coalesce(value, 0) = 0 THEN 0.0 ELSE round(value / value, 4) END AS q,
+           CASE WHEN coalesce(value, 0) = 0 THEN 'division by zero' END AS qerr,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN event_type = 'error' THEN 'alert'
+                WHEN value >= 50.0 THEN 'review'
+                ELSE 'ok' END AS lane,
+           upper(event_type) || '-' || CAST(user_id AS VARCHAR) AS tag
+    FROM events
+    """,
+)
+def q_vrl_compile(spark, sf):
+    from vector_spark.vrl import compile_program
+
+    ev = _t(spark, sf, "events")
+    out = compile_program(_VRL_PROGRAM).apply(ev)
+    return out.select(
+        "event_id",
+        F.round("value_cents", 4).alias("value_cents"),
+        F.round("q", 4).alias("q"),
+        "qerr", "k", "lane", "tag",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -1,0 +1,265 @@
+"""VRL front-end tests: lexer → parser → Column compiler.
+
+The behavior suite (tests/behavior/remap.toml — the reference's own 34
+active cases with their original VRL programs) is the parity gate; this
+module pins the compiler internals those cases ride on: grammar shapes,
+the error channel, rollback, multi-emit, the type lattice, and the
+divergences documented in vector_spark/vrl/compiler.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.vrl import compile_condition, compile_program
+from vector_spark.vrl.lexer import VrlSyntaxError, tokenize
+from vector_spark.vrl import parser as P
+
+
+# ------------------------------------------------------------- lexer
+def test_lexer_tokens():
+    kinds = [t.kind for t in tokenize('.a = "x\\n" + 1.5 # c\nb = r\'\\d+\'')]
+    assert kinds == ["DOT", "IDENT", "OP", "STRING", "OP", "FLOAT",
+                     "NEWLINE", "IDENT", "OP", "REGEX", "EOF"]
+
+
+def test_lexer_string_escapes():
+    toks = tokenize('"a\\"b\\\\c\\td"')
+    assert toks[0].value == 'a"b\\c\td'
+
+
+def test_lexer_unterminated():
+    with pytest.raises(VrlSyntaxError):
+        tokenize('"abc')
+
+
+def test_lexer_operators_longest_match():
+    vals = [t.value for t in tokenize("a!=b ?? c == d")][:-1]
+    assert vals == ["a", "!=", "b", "??", "c", "==", "d"]
+
+
+# ------------------------------------------------------------ parser
+def test_parser_precedence():
+    e = P.parse_expr(".a + .b > 9")
+    assert isinstance(e, P.Bin) and e.op == ">"
+    assert isinstance(e.left, P.Bin) and e.left.op == "+"
+
+    e = P.parse_expr(".a * (.b + .c) - .d")
+    assert e.op == "-" and e.left.op == "*" and e.left.right.op == "+"
+
+
+def test_parser_coalesce_binds_loosest():
+    e = P.parse_expr('parse_json("x") ?? "nope"')
+    assert e.op == "??" and isinstance(e.left, P.Call)
+
+
+def test_parser_assignment_forms():
+    prog = P.parse(".a, err = .x / .y\nv = 1\n.p.q = v")
+    a0, a1, a2 = prog.stmts
+    assert isinstance(a0.target, P.Path) and isinstance(a0.err_target, P.Var)
+    assert isinstance(a1.target, P.Var) and a1.err_target is None
+    assert a2.target.segments == ("p", "q")
+
+
+def test_parser_quoted_path_and_index():
+    p = P.parse_expr('.a."b.c"[2]')
+    assert p.segments == ("a", "b.c", 2)
+
+
+def test_parser_if_else_chain():
+    prog = P.parse('if .a == 1 { .t = "one" } else if .a == 2 { .t = "two" } '
+                   'else { .t = "many" }')
+    node = prog.stmts[0]
+    assert isinstance(node, P.If) and len(node.clauses) == 2
+    assert node.otherwise is not None
+
+
+def test_parser_named_args_and_bang():
+    c = P.parse_expr('to_string!(value: .in)')
+    assert c.bang and c.args[0][0] == "value"
+
+
+def test_parser_condition_continuation_lines():
+    prog = P.parse('.a == 1 &&\n.b == 2')
+    assert len(prog.stmts) == 1
+
+
+# ---------------------------------------------------------- compiler
+def _run(spark, src, rows, schema=None, **kw):
+    df = spark.createDataFrame(rows, schema)
+    return compile_program(src, **kw).apply(df)
+
+
+def test_assignment_and_variables(spark):
+    out = _run(spark, 'size = .n * 2\n.double = size\n.label = "x"',
+               [{"n": 21}]).collect()[0]
+    assert out.double == 42 and out.label == "x"
+
+
+def test_division_always_float_and_zero_value(spark):
+    out = _run(spark, '.q, err = .a / .b\n.z, .e2 = .a / .c',
+               [{"a": 9, "b": 12, "c": 0}]).collect()[0]
+    assert out.q == 0.75
+    assert out.z == 0.0  # zero-value on captured error (remap_arithmetic_error)
+    assert out.e2 is not None and "division by zero" in out.e2
+
+
+def test_unhandled_error_rolls_back_event(spark):
+    # drop_on_error=False: the ORIGINAL event passes (remap.rs:130-148)
+    out = _run(spark, '.a = 1\n.bad = to_int!(.msg)\n.b = 2',
+               [{"msg": "not-a-number", "keep": True}]).collect()[0]
+    assert out.keep is True and out.bad is None
+    assert out.a is None and out.b is None  # earlier assignments rolled back too
+
+
+def test_drop_on_error_filters_failed_rows(spark):
+    out = _run(spark, '.n = to_int!(.msg)', [{"msg": "5"}, {"msg": "x"}],
+               drop_on_error=True)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].n == 5
+
+
+def test_abort_semantics(spark):
+    kept = _run(spark, '.x = 1\nabort\n.y = 2', [{"m": "a"}],
+                drop_on_abort=False).collect()[0]
+    assert kept.m == "a" and kept.x is None  # rollback, not partial apply
+    dropped = _run(spark, 'abort', [{"m": "a"}], drop_on_abort=True)
+    assert dropped.count() == 0
+
+
+def test_conditional_abort_only_hits_matching_rows(spark):
+    out = _run(spark, 'if .lvl == "debug" { abort }\n.seen = true',
+               [{"lvl": "debug"}, {"lvl": "error"}], drop_on_abort=True)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].lvl == "error" and rows[0].seen is True
+
+
+def test_if_else_chain_compiles_to_when(spark):
+    out = _run(spark,
+               'if .n > 10 { .t = "big" } else if .n > 5 { .t = "mid" } '
+               'else { .t = "small" }',
+               [{"n": 20}, {"n": 7}, {"n": 1}])
+    got = {r.n: r.t for r in out.collect()}
+    assert got == {20: "big", 7: "mid", 1: "small"}
+
+
+def test_multi_emit_explodes(spark):
+    out = _run(spark, '. = [{"m": "a", "i": 1}, {"m": "b"}]', [{"x": 1}])
+    rows = out.orderBy("m").collect()
+    assert [(r.m, r.i) for r in rows] == [("a", 1), ("b", None)]
+    assert out.columns == ["m", "i"]
+
+
+def test_root_scalar_becomes_message(spark):
+    out = _run(spark, '. = 5', [{"x": 1}])
+    assert out.columns == ["message"] and out.collect()[0].message == 5
+
+
+def test_del_and_exists(spark):
+    out = _run(spark, '.had = exists(.gone)\ndel(.gone)\n.fresh = exists(.nope)',
+               [{"gone": "v", "keep": 1}])
+    row = out.collect()[0]
+    assert "gone" not in out.columns
+    assert row.had is True and row.fresh is False and row.keep == 1
+
+
+def test_nested_and_array_materialization(spark):
+    out = _run(spark, '.a.b = 1\n.c[0] = 1\n.c[1] = 2', [{"m": ""}]).collect()[0]
+    assert out.a.b == 1 and list(out.c) == [1, 2]
+
+
+def test_heterogeneous_array_variant_encoding(spark):
+    # mixed-type arrays materialize as canonical-JSON strings; the
+    # condition compiler uses the same encoder so == agrees
+    out = _run(spark, '.a[0] = 0\n.a[1] = "1"\n.a[2] = 2.0', [{"m": ""}])
+    assert [f.dataType.simpleString() for f in out.schema.fields if f.name == "a"] \
+        == ["array<string>"]
+    n = out.filter(compile_condition('.a == [0, "1", 2.0]', out.schema)).count()
+    assert n == 1
+
+
+def test_error_coalesce_operator(spark):
+    out = _run(spark, '.v = to_int(.msg) ?? -1', [{"msg": "nope"}]).collect()[0]
+    assert out.v == -1
+
+
+def test_err_capture_message_format(spark):
+    out = _run(spark, '.ok, .err = parse_json("{ bad }")', [{"m": ""}]).collect()[0]
+    assert out.err.startswith('function call error for "parse_json" at (')
+    assert "unable to parse json" in out.err
+
+
+def test_merge_operator_and_function(spark):
+    out = _run(spark, '.o = merge({"a": 1}, {"b": 2})', [{"m": ""}]).collect()[0]
+    assert out.o.a == 1 and out.o.b == 2
+
+
+def test_string_concat_plus(spark):
+    out = _run(spark, '.s = .a + "-" + .b', [{"a": "x", "b": "y"}]).collect()[0]
+    assert out.s == "x-y"
+
+
+def test_type_assertion_static_mismatch_always_errors(spark):
+    out = _run(spark, '.s = string!(.flag)', [{"flag": True}], drop_on_error=True)
+    assert out.count() == 0
+
+
+def test_condition_program_value_is_last_expression(spark):
+    df = spark.createDataFrame([{"a": 1, "b": 2}])
+    # first line is dead code — reference conditions resolve the final expr
+    cond = compile_condition('.a == 99\n.b == 2', df.schema)
+    assert df.filter(cond).count() == 1
+
+
+def test_condition_null_equality_is_is_null(spark):
+    df = spark.createDataFrame([{"a": "x"}])
+    assert df.filter(compile_condition('.missing == null', df.schema)).count() == 1
+    assert df.filter(compile_condition('.a != null', df.schema)).count() == 1
+
+
+def test_condition_type_mismatch_is_false(spark):
+    df = spark.createDataFrame([{"a": "1"}])
+    assert df.filter(compile_condition('.a == 1', df.schema)).count() == 0
+
+
+def test_enrichment_lookup_compiles_to_map_literal(spark):
+    rows = [{"id": 1, "tree": "oak"}, {"id": 3, "tree": "yew"},
+            {"id": 5, "tree": "yew"}]
+    df = spark.createDataFrame([{"id": 3}])
+    prog = compile_program('. = get_enrichment_table_record!("t", { "id": .id })',
+                           enrichment={"t": rows})
+    out = prog.apply(df)
+    got = out.collect()[0]
+    assert got.tree == "yew" and got.id == 3
+    # no join, no shuffle: the lookup is a map-literal element_at
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_find_enrichment_records_groups(spark):
+    rows = [{"id": 3, "tree": "yew"}, {"id": 5, "tree": "yew"},
+            {"id": 1, "tree": "oak"}]
+    df = spark.createDataFrame([{"tree": "yew"}])
+    prog = compile_program('.hits = find_enrichment_table_records!("t", '
+                           '{ "tree": .tree })', enrichment={"t": rows})
+    got = prog.apply(df).collect()[0]
+    assert [h.id for h in got.hits] == [3, 5]
+
+
+def test_whole_program_stays_in_codegen(spark):
+    """The compiled select must be pure Column expressions — one
+    WholeStageCodegen scan, no Python evaluation nodes."""
+    df = spark.createDataFrame([{"msg": "a=1 b=2", "n": 3}])
+    out = compile_program(
+        '.kv = parse_key_value!(.msg)\n.big = .n * 100\n'
+        'if .big > 100 { .lane = "hot" } else { .lane = "cold" }'
+    ).apply(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_unknown_function_is_named_compile_error(spark):
+    df = spark.createDataFrame([{"m": ""}])
+    with pytest.raises(Exception, match="not wired"):
+        compile_program('.x = definitely_not_a_function(.m)').apply(df)

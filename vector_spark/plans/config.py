@@ -95,10 +95,11 @@ SOURCES = {
 }
 
 
-def compile_condition(cond) -> "F.Column":
+def compile_condition(cond, df=None) -> "F.Column":
     """A condition is a SQL string, or a dict {type, source} where type
-    is "sql"/"vrl" (SQL expression — our VRL analogue) or
-    "datadog_search" (conditions/datadog_search.rs)."""
+    is "sql" (SQL expression), "vrl" (real VRL source text, compiled by
+    vector_spark.vrl against the input schema — src/conditions/vrl.rs),
+    or "datadog_search" (conditions/datadog_search.rs)."""
     if isinstance(cond, dict):
         kind = cond.get("type", "sql")
         src = cond["source"]
@@ -106,7 +107,13 @@ def compile_condition(cond) -> "F.Column":
             from vector_spark.functions.datadog_search import datadog_search
 
             return datadog_search(src)
-        if kind in ("sql", "vrl", "is_log"):
+        if kind == "vrl":
+            if df is None:
+                raise ConfigError("vrl conditions need the input schema")
+            from vector_spark.vrl import compile_condition as vrl_condition
+
+            return vrl_condition(src, df.schema)
+        if kind in ("sql", "is_log"):
             return F.expr(src)
         raise ConfigError(f"unknown condition type {kind!r}")
     return F.expr(cond)
@@ -120,7 +127,7 @@ def _t_filter(df, cfg):
     cond = cfg["condition"]
     if isinstance(cond, str) and cfg.get("condition_type") == "datadog_search":
         cond = {"type": "datadog_search", "source": cond}
-    return Filter(compile_condition(cond)).apply(df)
+    return Filter(compile_condition(cond, df)).apply(df)
 
 
 def _t_filter_not_any(df, cfg):
@@ -128,7 +135,7 @@ def _t_filter_not_any(df, cfg):
     rows matching NO lane condition."""
     out = F.lit(False)
     for cond in cfg["conditions"]:
-        out = out | F.coalesce(compile_condition(cond), F.lit(False))
+        out = out | F.coalesce(compile_condition(cond, df), F.lit(False))
     return df.filter(~out)
 
 
@@ -298,9 +305,37 @@ def _t_aggregate(df, cfg):
 
 
 def _t_remap(df, cfg):
-    """VRL remap as SQL expressions: `exprs = {target = "sql expr"}`.
-    The SQL-expression surface is our VRL program analogue (SURVEY
-    §2.4); drop_on_error filters rows where any output is null."""
+    """The `remap` transform (remap.rs:21-29). Two front-ends:
+
+    - `source = "<VRL program>"` or `file = "program.vrl"` — REAL VRL
+      source text, compiled to Column expressions by vector_spark.vrl
+      (lexer → AST → typed Column compiler). drop_on_error /
+      drop_on_abort follow remap.rs:123-176: a failed or aborted
+      program restores the original event unless dropped.
+    - `exprs = {target = "sql expr"}` — the SQL-expression dialect kept
+      from earlier rounds (useful when the logic is already SQL).
+    """
+    if "source" in cfg or "file" in cfg:
+        from vector_spark.vrl import compile_program
+
+        if "source" in cfg:
+            src = cfg["source"]
+        else:
+            src = _read_vrl_file(cfg["file"])
+        enrichment = None
+        if cfg.get("_enrichment_tables"):
+            enrichment = {
+                name: load_enrichment_rows(tbl)
+                for name, tbl in cfg["_enrichment_tables"].items()
+            }
+        prog = compile_program(
+            src,
+            drop_on_error=bool(cfg.get("drop_on_error", False)),
+            drop_on_abort=bool(cfg.get("drop_on_abort", True)),
+            enrichment=enrichment,
+        )
+        return prog.apply(df)
+
     from vector_spark.operators.remap import Remap
 
     outputs = {name: F.expr(sql) for name, sql in cfg["exprs"].items()}
@@ -308,6 +343,74 @@ def _t_remap(df, cfg):
     return Remap(
         outputs, success=success, drop_on_error=bool(cfg.get("drop_on_error", False))
     ).apply(df)
+
+
+def load_enrichment_rows(cfg: dict) -> list[dict]:
+    """One [enrichment_tables.X] block (reference shape:
+    src/enrichment_tables/file.rs — type="file", file.path CSV,
+    schema = per-column Conversion names) → driver-side rows for the
+    VRL lookup functions. Enrichment tables are broadcast-class by
+    contract; big lookups belong to the `enrich` transform's broadcast
+    join, not here."""
+    import csv as _csv
+    import pathlib
+
+    if cfg.get("type", "file") != "file":
+        raise ConfigError(f"unsupported enrichment table type {cfg.get('type')!r}")
+    path = cfg["file"]["path"] if isinstance(cfg.get("file"), dict) else cfg["file"]
+    p = pathlib.Path(path)
+    if not p.is_file():
+        alt = pathlib.Path(__file__).resolve().parents[2] / path
+        if alt.is_file():
+            p = alt
+        else:
+            raise ConfigError(f"enrichment table file not found: {path}")
+    with p.open() as fh:
+        rows = list(_csv.DictReader(fh))
+    schema = cfg.get("schema", {})
+    conv = {
+        "integer": int, "int": int, "float": float,
+        "string": str, "bytes": str,
+        "bool": lambda s: s.strip().lower() in ("true", "t", "yes", "1"),
+        "boolean": lambda s: s.strip().lower() in ("true", "t", "yes", "1"),
+    }
+    for col, spec in schema.items():
+        kind = str(spec).partition("|")[0].strip()
+        fn = conv.get(kind)
+        if fn is None:
+            raise ConfigError(f"unsupported enrichment schema type {spec!r} for VRL lookups")
+        for r in rows:
+            r[col] = fn(r[col])
+    return rows
+
+
+def attach_enrichment(transforms: dict, enrichment_cfg: dict | None) -> dict:
+    """Thread the global [enrichment_tables.*] section into every remap
+    transform cfg (the VRL lookup functions resolve tables by name)."""
+    if not enrichment_cfg:
+        return transforms
+    out = {}
+    for name, cfg in transforms.items():
+        if cfg.get("type") == "remap":
+            cfg = {**cfg, "_enrichment_tables": enrichment_cfg}
+        out[name] = cfg
+    return out
+
+
+def _read_vrl_file(path: str) -> str:
+    """`file =` resolves as given, then relative to the repo root (the
+    reference resolves relative to the Vector working dir)."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    if not p.is_file():
+        repo_root = pathlib.Path(__file__).resolve().parents[2]
+        alt = repo_root / path
+        if alt.is_file():
+            p = alt
+        else:
+            raise ConfigError(f"remap file not found: {path}")
+    return p.read_text()
 
 
 def _parse_concat_item(item: str):
@@ -1101,6 +1204,7 @@ def compile_config(
     # 2. macro expansion: route → one virtual output per lane;
     #    compound → serial chain of steps
     expanded = expand_macros(transforms)
+    expanded = attach_enrichment(expanded, config.get("enrichment_tables"))
 
     # input glob expansion against post-macro component names
     all_names = [*sources, *expanded]

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from vector_spark.plans.config import (
     TRANSFORMS,
     ConfigError,
+    attach_enrichment,
     expand_macros,
     interpolate_env,
 )
@@ -71,14 +72,53 @@ class UnitTestResult:
         return not self.errors and all(c.ok for c in self.checks)
 
 
-def _input_rows(inp: dict) -> tuple[list[dict], str | None]:
+def _split_path_key(key: str) -> list[str]:
+    """log_fields keys are PATHS in the reference harness: dots nest,
+    `\\.` is a literal dot in a segment (event/lookup.rs) — e.g.
+    `"a.b\\.c" = x` inserts {a: {"b.c": x}}."""
+    segs, cur, i = [], [], 0
+    while i < len(key):
+        ch = key[i]
+        if ch == "\\" and i + 1 < len(key) and key[i + 1] == ".":
+            cur.append(".")
+            i += 2
+            continue
+        if ch == ".":
+            segs.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    segs.append("".join(cur))
+    return segs
+
+
+def _nest_log_fields(fields: dict) -> object:
+    """Path-keyed flat map → one nested Row (structs for nesting)."""
+    from pyspark.sql import Row
+
+    tree: dict = {}
+    for key, value in fields.items():
+        segs = _split_path_key(key)
+        node = tree
+        for s in segs[:-1]:
+            node = node.setdefault(s, {})
+        node[segs[-1]] = value
+
+    def to_row(d):
+        return Row(**{k: to_row(v) if isinstance(v, dict) else v for k, v in d.items()})
+
+    return to_row(tree)
+
+
+def _input_rows(inp: dict) -> tuple[list, str | None]:
     """One test-input block → (rows, schema)."""
     kind = inp.get("type", "raw")
     if kind == "raw":
         return [{"message": inp.get("value", "")}], "message string"
     if kind == "log":
-        rows = inp.get("log_fields", {})
-        return [rows], None  # schema inferred from values
+        return [_nest_log_fields(inp.get("log_fields", {}))], None
     if kind == "rows":  # extension: multiple typed rows
         return inp["rows"], inp.get("schema")
     raise ConfigError(f"unknown test input type {kind!r}")
@@ -95,6 +135,7 @@ def run_unit_tests(
 
     raw_transforms = config.get("transforms", {})
     transforms = expand_macros(raw_transforms)
+    transforms = attach_enrichment(transforms, config.get("enrichment_tables"))
 
     def _injection_targets(at: str) -> list[str]:
         """insert_at on a macro transform means "feed the macro's
@@ -183,14 +224,25 @@ def run_unit_tests(
             else:
                 out_df = spark.createDataFrame(rows, resolve(src).schema)
                 for cond in check.get("conditions", []):
-                    if cond.get("type", "sql") not in ("sql", "vrl"):
-                        failures.append(f"unsupported condition type {cond.get('type')!r}")
-                        continue
+                    kind = cond.get("type", "sql")
+                    pred = cond["source"]
                     # reference semantics (unit_test.rs:234-258): a
                     # condition passes when AT LEAST ONE output event
                     # satisfies it
-                    pred = cond["source"]
-                    n_ok = out_df.filter(F.coalesce(F.expr(pred), F.lit(False))).count()
+                    if kind == "vrl":
+                        from vector_spark.vrl import compile_condition as vrl_cond
+
+                        try:
+                            col = vrl_cond(pred, out_df.schema)
+                        except Exception as e:
+                            failures.append(f"vrl condition error: {e}: {pred}")
+                            continue
+                    elif kind == "sql":
+                        col = F.expr(pred)
+                    else:
+                        failures.append(f"unsupported condition type {kind!r}")
+                        continue
+                    n_ok = out_df.filter(F.coalesce(col, F.lit(False))).count()
                     if n_ok == 0:
                         failures.append(pred)
             res.checks.append(CheckResult(src, len(rows), failures))

@@ -1,0 +1,1285 @@
+"""VRL → Column compiler.
+
+One VRL program run per event compiles into ONE declarative select:
+
+- event paths / variables live in a compile-time environment mapping
+  path → typed Column expression (class `V`); assignments rebind,
+  nothing is executed per-row in Python;
+- `if` guards become `F.when` wrappers on the assignments inside;
+- runtime errors carry through expressions as a message Column
+  (null = ok), exactly the reference's `Result<Value>` threading
+  (/root/reference/lib/vrl/core/src lib); `ok, err =` captures it,
+  `??` coalesces it, an unhandled/`!` error raises the program-level
+  error flag;
+- a failed or aborted program restores the ORIGINAL event
+  (remap.rs:130-148), compiled as a per-field
+  when(rollback, original).otherwise(new) wrapper, with
+  drop_on_error / drop_on_abort as row filters.
+
+Typing: VRL is dynamically typed per event; a DataFrame column has one
+static type, so the compiler runs VRL's type lattice at compile time
+(int/float/string/bool/timestamp/null/array/object/any). Two mapped
+divergences, both documented in COVERAGE.md:
+
+- presence: a DataFrame column cannot be absent per-row, so
+  `exists(.f)` compiles to IS NOT NULL (nulls-as-absent, SURVEY §1.3);
+- heterogeneous arrays (`[0, "1", 2.0]`): Spark arrays are homogeneous,
+  so mixed-type arrays materialize as array<string> of canonical JSON
+  scalars ("variant encoding"); literals on the other side of == use
+  the same encoder, so comparisons agree.
+
+On error-capture assignment (`ok, err = expr`) the ok target takes the
+*type default* of the expression (int 0, float 0.0, string "", bool
+false, else null) — the reference's zero-value semantics, pinned by
+behavior case remap_arithmetic_error (.a == 0.0 after 10/0).
+"""
+
+from __future__ import annotations
+
+import json
+import re as _re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vector_spark.vrl import parser as P
+
+
+class VrlCompileError(ValueError):
+    pass
+
+
+def _qcol(name: str) -> Column:
+    if _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", name):
+        return F.col(name)
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def _spark_to_vtype(dt: T.DataType) -> str:
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return "object"
+    if isinstance(dt, T.NullType):
+        return "null"
+    return "any"
+
+
+def _unify(a: str, b: str) -> str:
+    if a == b:
+        return a
+    if a == "null":
+        return b
+    if b == "null":
+        return a
+    if {a, b} == {"int", "float"}:
+        return "float"
+    return "any"
+
+
+_NUMERIC = ("int", "float", "any", "null")
+
+
+class V:
+    """A compiled VRL value: Column + VRL type + error channel, with
+    optional compile-time structure (object field map / array items)
+    and an optional Python constant."""
+
+    __slots__ = ("col", "vtype", "err", "fields", "items", "const", "has_const")
+
+    def __init__(self, col=None, vtype="any", err=None, fields=None, items=None,
+                 const=None, has_const=False):
+        self.col = col
+        self.vtype = vtype
+        self.err = err  # Column[string] (null = ok) | None = infallible
+        self.fields = fields  # dict[str, V] for concrete objects
+        self.items = items  # dict[int, V] for concrete arrays
+        self.const = const
+        self.has_const = has_const
+
+    def infallible(self) -> bool:
+        return self.err is None
+
+
+def _null(vtype: str = "null") -> V:
+    return V(F.lit(None), vtype)
+
+
+def _zero(vtype: str) -> Column:
+    return {
+        "int": F.lit(0),
+        "float": F.lit(0.0),
+        "string": F.lit(""),
+        "bool": F.lit(False),
+    }.get(vtype, F.lit(None))
+
+
+def _combine_err(*errs) -> Column | None:
+    cols = [e for e in errs if e is not None]
+    if not cols:
+        return None
+    return cols[0] if len(cols) == 1 else F.coalesce(*cols)
+
+
+def _from_python(value) -> V:
+    """A compile-time Python value (folded parse_json, literals) → V."""
+    if value is None:
+        return _null()
+    if isinstance(value, bool):
+        return V(F.lit(value), "bool", const=value, has_const=True)
+    if isinstance(value, int):
+        return V(F.lit(value), "int", const=value, has_const=True)
+    if isinstance(value, float):
+        return V(F.lit(value), "float", const=value, has_const=True)
+    if isinstance(value, str):
+        return V(F.lit(value), "string", const=value, has_const=True)
+    if isinstance(value, list):
+        return V(None, "array", items={i: _from_python(x) for i, x in enumerate(value)})
+    if isinstance(value, dict):
+        return V(None, "object", fields={k: _from_python(v) for k, v in value.items()})
+    raise VrlCompileError(f"unsupported constant {value!r}")
+
+
+def _vjson(v: V) -> Column:
+    """Canonical JSON scalar encoding used for heterogeneous ('variant')
+    arrays; both sides of == use this, so comparisons agree."""
+    col, t = _mat(v), v.vtype
+    if t == "string":
+        return F.when(col.isNotNull(), F.concat(F.lit('"'), col, F.lit('"')))
+    if t == "bool":
+        return F.when(col, F.lit("true")).otherwise(F.lit("false"))
+    if t in ("int", "float"):
+        return col.cast("string")
+    if t == "timestamp":
+        return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    if t in ("array", "object"):
+        return F.to_json(col)
+    return col.cast("string")
+
+
+def _arr_homogeneous(items: dict[int, V]) -> str | None:
+    """The single element vtype if the concrete array is homogeneous."""
+    kinds = {it.vtype for it in items.values() if it.vtype != "null"}
+    if len(kinds) == 1 and kinds != {"any"}:
+        return kinds.pop()
+    if not kinds:
+        return "null"
+    return None
+
+
+def _mat(v: V, sort_keys: bool = False) -> Column:
+    """Materialize a V to a single Column (structs for objects, arrays
+    — native when homogeneous, variant-encoded otherwise)."""
+    if v.fields is not None:
+        names = sorted(v.fields) if sort_keys else list(v.fields)
+        if not names:
+            return F.lit(None).cast("struct<>")
+        return F.struct(*[_mat(v.fields[n], sort_keys).alias(n) for n in names])
+    if v.items is not None:
+        if not v.items:
+            return F.array().cast("array<string>")
+        hi = max(v.items)
+        elems = []
+        homo = _arr_homogeneous(v.items)
+        for i in range(hi + 1):
+            it = v.items.get(i)
+            if it is None:
+                elems.append(F.lit(None).cast("string") if homo is None else F.lit(None))
+            else:
+                elems.append(_mat(it, sort_keys) if homo is not None else _vjson(it))
+        return F.array(*elems)
+    if v.col is None:
+        return F.lit(None)
+    return v.col
+
+
+# ---------------------------------------------------------- stdlib
+# Each entry: (param_names, builder). Builders take the compiler, the
+# arg dict (param name → V, missing params absent) and the Call node,
+# and return a V. Fallible builders set .err (a message Column).
+# Implementations delegate to the existing Column builders in
+# vector_spark.functions.* — this table is the VRL-name front door.
+
+def _need_const(args: dict, name: str, call: P.Call):
+    v = args.get(name)
+    if v is None:
+        return None
+    if not v.has_const:
+        raise VrlCompileError(
+            f'argument "{name}" of {call.name}() must be a literal in the '
+            f"compile-to-Column model"
+        )
+    return v.const
+
+
+def _call_err(call: P.Call, detail: Column | str) -> Column:
+    prefix = f'function call error for "{call.name}" at ({call.start}:{call.end}): '
+    if isinstance(detail, str):
+        return F.lit(prefix + detail)
+    return F.concat(F.lit(prefix), detail)
+
+
+def _coerce_err(call: P.Call, args: dict, result: Column, into: str,
+                null_ok: bool = False) -> Column:
+    src = args["value"].col if args["value"].col is not None else F.lit(None)
+    bad = result.isNull() if not null_ok else (result.isNull() & src.isNotNull())
+    return F.when(bad, _call_err(call, f"unable to coerce into {into}"))
+
+
+def _fn_to_string(c, args, call):
+    v = args["value"]
+    t = v.vtype
+    if t in ("object", "array") and (v.fields is not None or v.items is not None or t == "object"):
+        # VRL: to_string on collections errors
+        return V(F.lit(""), "string", err=_call_err(call, "unable to coerce object into string"))
+    col = _mat(v)
+    if t == "bool":
+        out = F.when(col, F.lit("true")).otherwise(F.lit("false"))
+    elif t == "timestamp":
+        out = F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    elif t == "null":
+        out = F.lit("")
+    else:
+        out = col.cast("string")
+    # reference zero-value: to_string of a missing/null value is ""
+    return V(F.coalesce(out, F.lit("")), "string", err=_combine_err(v.err))
+
+
+def _fn_to_int(c, args, call):
+    v = args["value"]
+    col = _mat(v)
+    if v.vtype == "bool":
+        out = F.when(col, F.lit(1)).otherwise(F.lit(0))
+    elif v.vtype == "timestamp":
+        out = col.cast("long")
+    else:
+        out = col.cast("string").try_cast("double").cast("long") if v.vtype in ("string", "any") \
+            else col.cast("long")
+    err = _combine_err(v.err, _coerce_err(call, args, out, "int"))
+    return V(out, "int", err=err)
+
+
+def _fn_to_float(c, args, call):
+    v = args["value"]
+    col = _mat(v)
+    out = col.try_cast("double") if v.vtype in ("string", "any") else col.cast("double")
+    return V(out, "float", err=_combine_err(v.err, _coerce_err(call, args, out, "float")))
+
+
+def _fn_to_bool(c, args, call):
+    from vector_spark.functions.strings import to_bool as _to_bool
+
+    v = args["value"]
+    col = _mat(v)
+    if v.vtype == "bool":
+        out = col
+    elif v.vtype in ("int", "float"):
+        out = col != F.lit(0)
+    else:
+        out = _to_bool(col.cast("string"))
+    return V(out, "bool", err=_combine_err(v.err, _coerce_err(call, args, out, "bool")))
+
+
+def _fn_to_timestamp(c, args, call):
+    v = args["value"]
+    col = _mat(v)
+    if v.vtype in ("int", "float"):
+        out = F.timestamp_seconds(col)
+    elif v.vtype == "timestamp":
+        out = col
+    else:
+        out = F.to_timestamp(col.cast("string"))
+    return V(out, "timestamp",
+             err=_combine_err(v.err, _coerce_err(call, args, out, "timestamp")))
+
+
+def _assert_type(expected: str):
+    def build(c, args, call):
+        v = args["value"]
+        if v.vtype == expected:
+            err = F.when(_mat(v).isNull(), _call_err(call, f"expected {expected}, got null"))
+            return V(v.col, v.vtype, err=_combine_err(v.err, err),
+                     fields=v.fields, items=v.items, const=v.const, has_const=v.has_const)
+        if v.vtype == "any":
+            return v  # dynamic: pass through
+        if expected == "float" and v.vtype == "int":
+            return V(_mat(v).cast("double"), "float", err=v.err)
+        if expected == "object" and v.fields is not None:
+            return v
+        if expected == "array" and v.items is not None:
+            return v
+        return V(_zero(expected), expected,
+                 err=_call_err(call, f"expected {expected}, got {v.vtype}"))
+
+    return build
+
+
+def _fn_parse_json(c, args, call):
+    v = args["value"]
+    if v.has_const:  # compile-time fold (literal program text)
+        try:
+            return _from_python(json.loads(v.const))
+        except json.JSONDecodeError as e:
+            detail = f"unable to parse json: {e.msg} at line {e.lineno} column {e.colno}"
+            return V(F.lit(None), "any", err=_call_err(call, detail))
+    schema = _need_const(args, "schema", call)
+    col = _mat(v)
+    if schema:
+        from vector_spark.functions.parse import parse_json as _pj
+
+        out = _pj(col, schema)
+        vt = "object"
+    else:
+        from vector_spark.functions.parse import parse_json_map as _pjm
+
+        out = _pjm(col)
+        vt = "object"
+    err = F.when(out.isNull(), _call_err(call, "unable to parse json"))
+    return V(out, vt, err=_combine_err(v.err, err))
+
+
+def _fn_parse_regex(c, args, call):
+    pattern = _need_const(args, "pattern", call)
+    col = _mat(args["value"])
+    try:
+        rx = _re.compile(pattern)
+    except _re.error as e:
+        raise VrlCompileError(f"bad regex in {call.name}(): {e}") from None
+    names = list(rx.groupindex)
+    if not names:
+        raise VrlCompileError("parse_regex needs named capture groups")
+    fields = {
+        n: V(F.when(col.rlike(pattern), F.regexp_extract(col, pattern, rx.groupindex[n])),
+             "string")
+        for n in names
+    }
+    err = F.when(~F.coalesce(col.rlike(pattern), F.lit(False)),
+                 _call_err(call, "regex did not match"))
+    return V(None, "object", fields=fields, err=_combine_err(args["value"].err, err))
+
+
+def _fn_parse_grok(c, args, call):
+    from vector_spark.functions import grok as grok_mod
+
+    pattern = _need_const(args, "pattern", call)
+    col = _mat(args["value"])
+    caps = grok_mod.grok_extract(col, pattern)
+    fields = {n: V(cc, "string") for n, cc in caps.items()}
+    err = F.when(~F.coalesce(grok_mod.grok_matches(col, pattern), F.lit(False)),
+                 _call_err(call, "grok pattern did not match"))
+    return V(None, "object", fields=fields, err=_combine_err(args["value"].err, err))
+
+
+def _fn_parse_key_value(c, args, call):
+    from vector_spark.functions.parse import parse_key_value
+
+    col = _mat(args["value"])
+    kv = _need_const(args, "key_value_delimiter", call) or "="
+    fd = _need_const(args, "field_delimiter", call) or " "
+    out = parse_key_value(col, kv, fd)
+    err = F.when(out.isNull() | (F.size(out) == 0),
+                 _call_err(call, "could not parse key/value pairs"))
+    return V(out, "object", err=_combine_err(args["value"].err, err))
+
+
+def _fn_parse_timestamp(c, args, call):
+    from vector_spark.functions.parse import parse_timestamp
+
+    fmt = _need_const(args, "format", call)
+    out = parse_timestamp(_mat(args["value"]), _strptime_to_spark(fmt) if fmt else None)
+    return V(out, "timestamp",
+             err=_combine_err(args["value"].err, _coerce_err(call, args, out, "timestamp")))
+
+
+def _strptime_to_spark(fmt: str) -> str:
+    """VRL uses chrono strftime formats; translate the common ones."""
+    table = {
+        "%+": "yyyy-MM-dd'T'HH:mm:ssxxx",  # chrono RFC 3339 (+00:00 form)
+        "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+        "%S": "ss", "%z": "XX", "%:z": "XXX", "%f": "SSSSSS", "%3f": "SSS",
+        "%b": "MMM", "%a": "EEE", "%e": "d", "%T": "HH:mm:ss", "%F": "yyyy-MM-dd",
+    }
+    out = fmt
+    for k, sv in table.items():
+        out = out.replace(k, sv)
+    return out
+
+
+def _simple(fn, vtype: str, *params: str, fallible: bool = False, detail: str = "call failed"):
+    """Wrap an existing Column builder: params map positionally; consts
+    required for non-leading params (patterns, separators, sizes)."""
+
+    def build(c, args, call):
+        first = args[params[0]]
+        pos_args = [_mat(first)]
+        for p in params[1:]:
+            if p in args:
+                a = args[p]
+                pos_args.append(a.const if a.has_const else _mat(a))
+        out = fn(*pos_args)
+        err = _combine_err(first.err)
+        if fallible:
+            err = _combine_err(err, F.when(out.isNull() & _mat(first).isNotNull(),
+                                           _call_err(call, detail)))
+        return V(out, vtype, err=err)
+
+    return build
+
+
+def _fn_length(c, args, call):
+    v = args["value"]
+    if v.fields is not None:
+        return V(F.lit(len(v.fields)), "int")
+    if v.items is not None:
+        return V(F.lit(max(v.items) + 1 if v.items else 0), "int")
+    col = _mat(v)
+    if v.vtype == "string":
+        return V(F.length(col), "int", err=v.err)
+    if v.vtype == "array":
+        return V(F.size(col), "int", err=v.err)
+    if v.vtype == "object":
+        return V(F.size(col), "int", err=v.err)  # map or struct: size works for maps
+    return V(F.length(col.cast("string")), "int", err=v.err)
+
+
+def _fn_merge(c, args, call):
+    a, b = args["to"], args["from"]
+    if a.fields is not None and b.fields is not None:
+        out = dict(a.fields)
+        out.update(b.fields)
+        return V(None, "object", fields=out, err=_combine_err(a.err, b.err))
+    if a.vtype == "object" and b.vtype == "object" and a.fields is None and b.fields is None:
+        return V(F.map_concat(_mat(a), _mat(b)), "object", err=_combine_err(a.err, b.err))
+    raise VrlCompileError("merge() needs two objects")
+
+
+def _fn_match(c, args, call):
+    pattern = _need_const(args, "pattern", call)
+    v = args["value"]
+    return V(_mat(v).rlike(pattern), "bool", err=v.err)
+
+
+def _fn_replace(c, args, call):
+    pattern = _need_const(args, "pattern", call)
+    with_ = args["with"]
+    v = args["value"]
+    wcol = with_.const if with_.has_const else None
+    if wcol is None:
+        raise VrlCompileError('replace() "with" must be a literal')
+    return V(F.regexp_replace(_mat(v), pattern, wcol), "string", err=v.err)
+
+
+def _fn_slice(c, args, call):
+    from vector_spark.functions.strings import slice_
+
+    v = args["value"]
+    start = _need_const(args, "start", call) or 0
+    end = _need_const(args, "end", call)
+    return V(slice_(_mat(v), start, end), v.vtype if v.vtype == "array" else "string", err=v.err)
+
+
+def _fn_includes(c, args, call):
+    v, item = args["value"], args["item"]
+    return V(F.array_contains(_mat(v), _mat(item)), "bool", err=_combine_err(v.err, item.err))
+
+
+def _fn_push(c, args, call):
+    v, item = args["value"], args["item"]
+    if v.items is not None:
+        items = dict(v.items)
+        items[(max(items) + 1) if items else 0] = item
+        return V(None, "array", items=items, err=_combine_err(v.err, item.err))
+    return V(F.concat(_mat(v), F.array(_mat(item))), "array", err=_combine_err(v.err, item.err))
+
+
+def _fn_append(c, args, call):
+    v, it = args["value"], args["items"]
+    return V(F.concat(_mat(v), _mat(it)), "array", err=_combine_err(v.err, it.err))
+
+
+def _fn_assert(c, args, call):
+    cond = args["condition"]
+    msg = args.get("message")
+    detail = msg.const if (msg is not None and msg.has_const) else "assertion failed"
+    err = F.when(~F.coalesce(_mat(cond), F.lit(False)), _call_err(call, str(detail)))
+    return V(F.lit(True), "bool", err=_combine_err(cond.err, err))
+
+
+def _fn_encode_json(c, args, call):
+    v = args["value"]
+    return V(F.to_json(_mat(v)), "string", err=v.err)
+
+
+def _fn_format_timestamp(c, args, call):
+    fmt = _need_const(args, "format", call)
+    v = args["value"]
+    return V(F.date_format(_mat(v), _strptime_to_spark(fmt)), "string", err=v.err)
+
+
+def _fn_split(c, args, call):
+    from vector_spark.functions.strings import split_
+
+    pattern = _need_const(args, "pattern", call)
+    limit = _need_const(args, "limit", call) or -1
+    v = args["value"]
+    return V(split_(_mat(v), pattern, limit), "array", err=v.err)
+
+
+def _fn_ip_cidr_contains(c, args, call):
+    from vector_spark.functions.ip import ip_cidr_contains
+
+    cidr = _need_const(args, "cidr", call)
+    v = args["value"]
+    return V(ip_cidr_contains(F.lit(cidr), _mat(v)), "bool", err=v.err)
+
+
+def _str_pred(method: str):
+    """contains/starts_with/ends_with with the case_sensitive arg."""
+
+    def build(c, args, call):
+        v, sub = args["value"], args["substring"]
+        cs = args.get("case_sensitive")
+        case_sensitive = cs.const if (cs is not None and cs.has_const) else True
+        col, s = _mat(v), _mat(sub)
+        if not case_sensitive:
+            col, s = F.lower(col), F.lower(s)
+        out = getattr(col, method)(s)
+        return V(out, "bool", err=_combine_err(v.err, sub.err))
+
+    return build
+
+
+def _fn_tag_types_externally(c, args, call):
+    """tag_types_externally (lib/vrl/stdlib): wrap each scalar in a
+    one-key object named after its type; containers tag recursively;
+    null stays null. Types are static here, so tagging happens entirely
+    at compile time."""
+    names = {"int": "integer", "float": "float", "string": "string",
+             "bool": "boolean", "timestamp": "timestamp", "regex": "regex"}
+
+    def tag(v: V) -> V:
+        if v.vtype == "null":
+            return _null()
+        if v.fields is not None:
+            return V(None, "object", fields={k: tag(x) for k, x in v.fields.items()},
+                     err=v.err)
+        if v.items is not None:
+            return V(None, "array", items={i: tag(x) for i, x in v.items.items()},
+                     err=v.err)
+        name = names.get(v.vtype)
+        if name is None:
+            raise VrlCompileError(
+                "tag_types_externally needs a statically typed value "
+                f"(got {v.vtype})")
+        return V(None, "object", fields={name: v}, err=v.err)
+
+    return tag(args["value"])
+
+
+def _fn_reverse_dns(c, args, call):
+    from vector_spark.functions.ip import reverse_dns
+
+    v = args["value"]
+    out = reverse_dns()(_mat(v))
+    err = F.when(out.isNull(), _call_err(call, "unable to resolve PTR record"))
+    return V(out, "string", err=_combine_err(v.err, err))
+
+
+def _pyval_vtype(x) -> str:
+    if isinstance(x, bool):
+        return "bool"
+    if isinstance(x, int):
+        return "int"
+    if isinstance(x, float):
+        return "float"
+    return "string"
+
+
+def _enrichment_map(c, tname: str, cond: V, call: P.Call, grouped: bool):
+    """Shared lookup-plan builder for get/find_enrichment_table_records:
+    the (small, broadcast-class) table becomes a map LITERAL keyed by
+    the single condition column — a broadcast hash lookup expressed as
+    one Column, no join or shuffle. Big enrichment joins belong to the
+    `enrich` transform (broadcast hash join); this is the VRL-expression
+    path for genuinely small tables (src/enrichment_tables/file.rs)."""
+    rows = (c.enrichment or {}).get(tname)
+    if rows is None:
+        raise VrlCompileError(f"unknown enrichment table {tname!r}")
+    if not rows:
+        raise VrlCompileError(f"enrichment table {tname!r} is empty")
+    if cond.fields is None or len(cond.fields) != 1:
+        raise VrlCompileError(
+            f"{call.name} supports a single-column equality condition")
+    key, keyv = next(iter(cond.fields.items()))
+    if key not in rows[0]:
+        raise VrlCompileError(f"condition column {key!r} not in table {tname!r}")
+    columns = list(rows[0].keys())
+
+    def row_struct(r):
+        return F.struct(*[F.lit(r[col]).alias(col) for col in columns])
+
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r[key], []).append(r)
+    pairs = []
+    for k, grp in groups.items():
+        if not grouped and len(grp) > 1:
+            raise VrlCompileError(
+                f"{call.name}: condition column {key!r} is not unique in "
+                f"{tname!r}; use find_enrichment_table_records")
+        val = F.array(*[row_struct(r) for r in grp]) if grouped else row_struct(grp[0])
+        pairs += [F.lit(k), val]
+    looked = F.element_at(F.create_map(*pairs), _mat(keyv))
+    return looked, columns, groups
+
+
+def _fn_get_enrichment_record(c, args, call):
+    tname = _need_const(args, "table", call)
+    cond = args["condition"]
+    looked, columns, groups = _enrichment_map(c, tname, cond, call, grouped=False)
+    sample = next(iter(groups.values()))[0]
+    fields = {col: V(looked[col], _pyval_vtype(sample[col])) for col in columns}
+    err = F.when(looked.isNull(), _call_err(call, "no record found"))
+    return V(looked, "object", fields=fields, err=_combine_err(cond.err, err))
+
+
+def _fn_find_enrichment_records(c, args, call):
+    tname = _need_const(args, "table", call)
+    cond = args["condition"]
+    looked, _, _ = _enrichment_map(c, tname, cond, call, grouped=True)
+    err = F.when(looked.isNull(), _call_err(call, "no records found"))
+    return V(looked, "array", err=_combine_err(cond.err, err))
+
+
+def _registry():
+    from vector_spark.functions import strings as S
+
+    r: dict[str, tuple[tuple[str, ...], object]] = {
+        # type conversion / assertion
+        "to_string": (("value",), _fn_to_string),
+        "to_int": (("value",), _fn_to_int),
+        "to_float": (("value",), _fn_to_float),
+        "to_bool": (("value",), _fn_to_bool),
+        "to_timestamp": (("value",), _fn_to_timestamp),
+        "string": (("value",), _assert_type("string")),
+        "int": (("value",), _assert_type("int")),
+        "float": (("value",), _assert_type("float")),
+        "bool": (("value",), _assert_type("bool")),
+        "object": (("value",), _assert_type("object")),
+        "array": (("value",), _assert_type("array")),
+        "timestamp": (("value",), _assert_type("timestamp")),
+        # strings
+        "upcase": (("value",), _simple(S.upcase, "string", "value")),
+        "downcase": (("value",), _simple(S.downcase, "string", "value")),
+        "strip_whitespace": (("value",), _simple(S.strip_whitespace, "string", "value")),
+        "strip_ansi_escape_codes": (("value",), _simple(S.strip_ansi_escape_codes, "string", "value")),
+        "truncate": (("value", "limit", "ellipsis"), _simple(S.truncate, "string", "value", "limit", "ellipsis")),
+        "replace": (("value", "pattern", "with"), _fn_replace),
+        "slice": (("value", "start", "end"), _fn_slice),
+        "split": (("value", "pattern", "limit"), _fn_split),
+        "join": (("value", "separator"), _simple(S.join_, "string", "value", "separator")),
+        "contains": (("value", "substring", "case_sensitive"), _str_pred("contains")),
+        "starts_with": (("value", "substring", "case_sensitive"), _str_pred("startswith")),
+        "ends_with": (("value", "substring", "case_sensitive"), _str_pred("endswith")),
+        "match": (("value", "pattern"), _fn_match),
+        "find": (("value", "substring"), _simple(S.find, "int", "value", "substring")),
+        "length": (("value",), _fn_length),
+        "strlen": (("value",), _simple(F.length, "int", "value")),
+        "is_nullish": (("value",), _simple(S.is_nullish, "bool", "value")),
+        # numbers
+        "ceil": (("value", "precision"), _simple(S.ceil_, "float", "value", "precision")),
+        "floor": (("value", "precision"), _simple(S.floor_, "float", "value", "precision")),
+        "round": (("value", "precision"), _simple(S.round_, "float", "value", "precision")),
+        "abs": (("value",), _simple(F.abs, "float", "value")),
+        "format_number": (("value", "scale"), _simple(S.format_number, "string", "value", "scale")),
+        "format_int": (("value", "base"), _simple(S.format_int, "string", "value", "base")),
+        # crypto / ids
+        "md5": (("value",), _simple(S.md5_, "string", "value")),
+        "sha1": (("value",), _simple(S.sha1_, "string", "value")),
+        "sha2": (("value", "variant"), _simple(S.sha2_, "string", "value", "variant")),
+        "sha3": (("value", "variant"), _simple(S.sha3_, "string", "value", "variant")),
+        "uuid_v4": ((), lambda c, a, call: V(S.uuid_v4(), "string")),
+        "now": ((), lambda c, a, call: V(F.current_timestamp(), "timestamp")),
+        "get_hostname": ((), lambda c, a, call: V(S.get_hostname(), "string")),
+        "get_env_var": (("name",), lambda c, a, call: V(
+            S.get_env_var(_need_const(a, "name", call)), "string")),
+        # codecs
+        "encode_base64": (("value",), _simple(S.encode_base64, "string", "value")),
+        "decode_base64": (("value",), _simple(S.decode_base64, "string", "value",
+                                              fallible=True, detail="unable to decode base64")),
+        "encode_json": (("value",), _fn_encode_json),
+        # parsers
+        "parse_json": (("value", "schema"), _fn_parse_json),
+        "parse_regex": (("value", "pattern"), _fn_parse_regex),
+        "parse_grok": (("value", "pattern"), _fn_parse_grok),
+        "parse_key_value": (("value", "key_value_delimiter", "field_delimiter"), _fn_parse_key_value),
+        "parse_timestamp": (("value", "format"), _fn_parse_timestamp),
+        "format_timestamp": (("value", "format"), _fn_format_timestamp),
+        "to_unix_timestamp": (("value",), _simple(S.to_unix_timestamp, "int", "value")),
+        "to_syslog_level": (("value",), _simple(S.to_syslog_level, "string", "value")),
+        "to_syslog_facility": (("value",), _simple(S.to_syslog_facility, "string", "value")),
+        "to_syslog_severity": (("value",), _simple(S.to_syslog_severity, "int", "value")),
+        # arrays / objects
+        "includes": (("value", "item"), _fn_includes),
+        "push": (("value", "item"), _fn_push),
+        "append": (("value", "items"), _fn_append),
+        "compact": (("value",), _simple(S.compact, "array", "value")),
+        "unique": (("value",), _simple(S.unique, "array", "value")),
+        "flatten": (("value",), _simple(S.flatten_, "array", "value")),
+        "merge": (("to", "from"), _fn_merge),
+        # misc
+        "assert": (("condition", "message"), _fn_assert),
+        "ip_cidr_contains": (("cidr", "value"), _fn_ip_cidr_contains),
+        "tag_types_externally": (("value",), _fn_tag_types_externally),
+        "reverse_dns": (("value",), _fn_reverse_dns),
+        "get_enrichment_table_record": (
+            ("table", "condition", "select", "case_sensitive"), _fn_get_enrichment_record),
+        "find_enrichment_table_records": (
+            ("table", "condition", "select", "case_sensitive"), _fn_find_enrichment_records),
+    }
+    return r
+
+
+_REGISTRY = None
+
+
+def registry():
+    global _REGISTRY
+    if _REGISTRY is None:
+        _REGISTRY = _registry()
+    return _REGISTRY
+
+
+# --------------------------------------------------------- compiler
+class _Compiler:
+    def __init__(self, schema: T.StructType, enrichment: dict | None = None):
+        self.schema = schema
+        self.enrichment = enrichment or {}
+        self.root: dict[str, V] = {}
+        for f in schema.fields:
+            self.root[f.name] = self._leaf(_qcol(f.name), f.dataType)
+        self.vars: dict[str, V] = {}
+        self.err_flag: Column = F.lit(False)
+        self.abort_flag: Column = F.lit(False)
+        self.can_fail = False
+        self.can_abort = False
+        self.emit_array: V | None = None
+        self.deleted: set[str] = set()
+
+    def _leaf(self, col: Column, dt: T.DataType) -> V:
+        if isinstance(dt, T.StructType):
+            return V(col, "object",
+                     fields={f.name: self._leaf(col.getField(f.name), f.dataType)
+                             for f in dt.fields})
+        return V(col, _spark_to_vtype(dt))
+
+    # ---- environment paths
+    def _get_path(self, segs: tuple) -> V:
+        node: V | dict = self.root
+        for s in segs:
+            if isinstance(node, dict):  # the root field map
+                if s not in node:
+                    return _null()
+                node = node[s]
+                continue
+            if isinstance(s, int):
+                if node.items is not None:
+                    if s not in node.items:
+                        return _null()
+                    node = node.items[s]
+                elif node.vtype == "array" and node.col is not None:
+                    return V(F.get(node.col, s), "any")
+                else:
+                    return _null()
+                continue
+            # string segment
+            if node.fields is not None:
+                if s not in node.fields:
+                    return _null()
+                node = node.fields[s]
+            elif node.vtype == "object" and node.col is not None:
+                return V(F.element_at(node.col, F.lit(s)), "any")
+            else:
+                return _null()
+        if isinstance(node, dict):  # bare "." — whole event
+            return V(None, "object", fields=dict(node))
+        return node
+
+    def _set_path(self, segs: tuple, value: V, cond: Column | None):
+        if not segs:
+            raise VrlCompileError("root assignment handled by caller")
+        if cond is not None:
+            old = self._get_path(segs)
+            newcol = F.when(cond, _mat(value)).otherwise(_mat(old))
+            value = V(newcol, _unify(value.vtype, old.vtype))
+        node = self.root
+        for depth, s in enumerate(segs[:-1]):
+            container = node if isinstance(node, dict) else node.fields
+            if container is None:
+                raise VrlCompileError(f"cannot descend into non-object at {s!r}")
+            child = container.get(s)
+            if child is None or (child.fields is None and child.items is None):
+                if child is not None and child.vtype == "object" and child.col is not None:
+                    # opaque struct w/o schema expansion: replace
+                    child = V(None, "object", fields={})
+                else:
+                    kind = "array" if isinstance(segs[depth + 1], int) else "object"
+                    child = V(None, kind,
+                              fields={} if kind == "object" else None,
+                              items={} if kind == "array" else None)
+                container[s] = child
+            node = child
+        last = segs[-1]
+        container = node if isinstance(node, dict) else None
+        if container is not None:
+            if isinstance(last, int):
+                raise VrlCompileError("cannot index the event root")
+            container[last] = value
+            self.deleted.discard(last)
+            return
+        if isinstance(last, int):
+            if node.items is None:
+                node.items = {}
+                node.vtype = "array"
+            node.items[last] = value
+        else:
+            if node.fields is None:
+                node.fields = {}
+                node.vtype = "object"
+            node.fields[last] = value
+
+    # ---- expressions
+    def expr(self, e) -> V:
+        if isinstance(e, P.Lit):
+            if e.kind == "null":
+                return _null()
+            if e.kind == "regex":
+                return V(F.lit(e.value), "regex", const=e.value, has_const=True)
+            if e.kind == "timestamp":
+                return V(F.to_timestamp(F.lit(e.value)), "timestamp",
+                         const=e.value, has_const=True)
+            return _from_python(e.value)
+        if isinstance(e, P.Arr):
+            return V(None, "array", items={i: self.expr(x) for i, x in enumerate(e.items)})
+        if isinstance(e, P.Obj):
+            return V(None, "object", fields={k: self.expr(x) for k, x in e.pairs})
+        if isinstance(e, P.Path):
+            return self._get_path(e.segments)
+        if isinstance(e, P.Var):
+            if e.name not in self.vars:
+                return _null()
+            return self.vars[e.name]
+        if isinstance(e, P.Member):
+            base = self.expr(e.base)
+            return self._walk(base, e.segments)
+        if isinstance(e, P.Un):
+            return self._unary(e)
+        if isinstance(e, P.Bin):
+            return self._binary(e)
+        if isinstance(e, P.Call):
+            return self._call(e)
+        raise VrlCompileError(f"unsupported expression node {type(e).__name__}")
+
+    def _walk(self, base: V, segs: tuple) -> V:
+        node = base
+        for s in segs:
+            if isinstance(s, int):
+                if node.items is not None:
+                    node = node.items.get(s, _null())
+                else:
+                    node = V(F.get(_mat(node), s), "any", err=node.err)
+            else:
+                if node.fields is not None:
+                    node = node.fields.get(s, _null())
+                elif node.vtype == "object" and node.col is not None:
+                    node = V(F.element_at(node.col, F.lit(s)), "any", err=node.err)
+                else:
+                    node = V(F.lit(None), "any", err=node.err)
+        return node
+
+    def _unary(self, e: P.Un) -> V:
+        v = self.expr(e.expr)
+        if e.op == "!":
+            return V(~F.coalesce(_mat(v), F.lit(False)), "bool", err=v.err)
+        if e.op == "-":
+            if v.has_const and isinstance(v.const, (int, float)):
+                return _from_python(-v.const)
+            return V(-_mat(v), v.vtype if v.vtype in ("int", "float") else "float", err=v.err)
+        raise VrlCompileError(f"unknown unary op {e.op}")
+
+    def _eq(self, a: V, b: V) -> Column:
+        # null literal comparison: VRL `x == null` is an IS NULL check
+        if a.vtype == "null" and a.col is None:
+            a = _null()
+        if b.vtype == "null":
+            return _mat(a).isNull()
+        if a.vtype == "null":
+            return _mat(b).isNull()
+        complex_side = (a.vtype in ("array", "object")) or (b.vtype in ("array", "object"))
+        if complex_side:
+            # joint encoding decision for concrete arrays
+            if a.items is not None or b.items is not None:
+                all_items = []
+                for s in (a, b):
+                    if s.items is not None:
+                        all_items.extend(s.items.values())
+                kinds = {it.vtype for it in all_items if it.vtype != "null"}
+                hetero = len(kinds) > 1
+                ma = self._arr_side(a, hetero)
+                mb = self._arr_side(b, hetero)
+                return F.to_json(ma).eqNullSafe(F.to_json(mb))
+            return F.to_json(_mat(a, sort_keys=True)).eqNullSafe(
+                F.to_json(_mat(b, sort_keys=True)))
+        ta, tb = a.vtype, b.vtype
+        known = {"int", "float", "string", "bool", "timestamp"}
+        if ta in known and tb in known and _unify(ta, tb) == "any":
+            return F.lit(False)  # VRL: differing types are not equal
+        return _mat(a).eqNullSafe(_mat(b))
+
+    def _arr_side(self, v: V, hetero: bool) -> Column:
+        if v.items is None:
+            return _mat(v)  # opaque array column (materialized encoding as stored)
+        if not hetero:
+            return _mat(v)
+        hi = max(v.items) if v.items else -1
+        elems = [
+            _vjson(v.items[i]) if i in v.items else F.lit(None).cast("string")
+            for i in range(hi + 1)
+        ]
+        return F.array(*elems) if elems else F.array().cast("array<string>")
+
+    def _binary(self, e: P.Bin) -> V:
+        op = e.op
+        if op == "??":
+            left = self.expr(e.left)
+            right = self.expr(e.right)
+            if left.err is None:
+                return left
+            lcol = _mat(left)
+            col = F.when(left.err.isNull(), lcol).otherwise(_mat(right))
+            return V(col, _unify(left.vtype, right.vtype), err=right.err)
+        a = self.expr(e.left)
+        b = self.expr(e.right)
+        err = _combine_err(a.err, b.err)
+        if op in ("==", "!="):
+            eq = self._eq(a, b)
+            return V(eq if op == "==" else ~eq, "bool", err=err)
+        if op in ("&&", "||"):
+            ca = F.coalesce(_mat(a), F.lit(False))
+            cb = F.coalesce(_mat(b), F.lit(False))
+            return V(ca & cb if op == "&&" else ca | cb, "bool", err=err)
+        if op in ("<", ">", "<=", ">="):
+            ca, cb = _mat(a), _mat(b)
+            col = {"<": ca < cb, ">": ca > cb, "<=": ca <= cb, ">=": ca >= cb}[op]
+            return V(col, "bool", err=err)
+        if op == "+":
+            if a.vtype == "string" or b.vtype == "string":
+                if a.vtype == b.vtype == "string" or "any" in (a.vtype, b.vtype):
+                    return V(F.concat(_mat(a).cast("string"), _mat(b).cast("string")),
+                             "string", err=err)
+                return V(F.lit(None), "any",
+                         err=_combine_err(err, F.lit(f"unable to add {a.vtype} and {b.vtype}")))
+            return self._arith(a, b, lambda x, y: x + y, err)
+        if op == "-":
+            return self._arith(a, b, lambda x, y: x - y, err)
+        if op == "*":
+            return self._arith(a, b, lambda x, y: x * y, err)
+        if op == "%":
+            return self._arith(a, b, lambda x, y: x % y, err)
+        if op == "/":
+            ca = _mat(a).cast("double")
+            cb = _mat(b).cast("double")
+            div_err = F.when(F.coalesce(cb, F.lit(0.0)) == 0.0, F.lit("division by zero"))
+            return V(
+                F.when(cb != 0.0, ca / cb), "float",
+                err=_combine_err(err, div_err),
+            )
+        if op == "|":  # object merge operator
+            return _fn_merge(self, {"to": a, "from": b},
+                             P.Call("merge", (), False, 0, 0))
+        raise VrlCompileError(f"unknown operator {op}")
+
+    def _arith(self, a: V, b: V, fn, err) -> V:
+        if a.vtype not in _NUMERIC or b.vtype not in _NUMERIC:
+            return V(F.lit(None), "any",
+                     err=_combine_err(err, F.lit(
+                         f"unable to compute {a.vtype} with {b.vtype}")))
+        vt = _unify(a.vtype if a.vtype != "null" else "int",
+                    b.vtype if b.vtype != "null" else "int")
+        if vt not in ("int", "float"):
+            vt = "float"
+        return V(fn(_mat(a), _mat(b)), vt, err=err)
+
+    # ---- calls
+    def _call(self, call: P.Call) -> V:
+        name = call.name
+        if name == "exists":
+            return self._exists(call)
+        if name == "del":
+            return self._del(call)
+        reg = registry()
+        if name not in reg:
+            raise VrlCompileError(
+                f"VRL function {name!r} is not wired into the compile-to-Column "
+                f"front-end (see vector_spark/vrl/compiler.py registry)")
+        params, builder = reg[name]
+        args: dict[str, V] = {}
+        pos = 0
+        for arg_name, arg_expr in call.args:
+            if arg_name is None:
+                if pos >= len(params):
+                    raise VrlCompileError(f"too many arguments for {name}()")
+                arg_name = params[pos]
+                pos += 1
+            elif arg_name not in params:
+                raise VrlCompileError(f"unknown argument {arg_name!r} for {name}()")
+            args[arg_name] = self.expr(arg_expr)
+        return builder(self, args, call)
+
+    def _exists(self, call: P.Call) -> V:
+        if len(call.args) != 1 or not isinstance(call.args[0][1], P.Path):
+            raise VrlCompileError("exists() takes a single path query")
+        segs = call.args[0][1].segments
+        v = self._get_path(segs)
+        if v.vtype == "null" and v.col is not None and v.fields is None and v.items is None:
+            # statically absent — but may still have been assigned null
+            return V(_mat(v).isNotNull(), "bool")
+        if v.fields is not None or v.items is not None:
+            return V(F.lit(True), "bool")
+        return V(_mat(v).isNotNull(), "bool")
+
+    def _del(self, call: P.Call) -> V:
+        if len(call.args) != 1 or not isinstance(call.args[0][1], P.Path):
+            raise VrlCompileError("del() takes a single path query")
+        segs = call.args[0][1].segments
+        old = self._get_path(segs)
+        if len(segs) == 1 and isinstance(segs[0], str):
+            self.root.pop(segs[0], None)
+            self.deleted.add(segs[0])
+        else:
+            self._set_path(segs, _null(), None)
+        return old
+
+    # ---- statements
+    def stmt(self, s, cond: Column | None):
+        if isinstance(s, P.Abort):
+            self.can_abort = True
+            self.abort_flag = self.abort_flag | (cond if cond is not None else F.lit(True))
+            return
+        if isinstance(s, P.If):
+            not_prior = None
+            for c_expr, block in s.clauses:
+                cv = self.expr(c_expr)
+                if cv.err is not None:
+                    self._raise_err(cv.err, cond)
+                ccol = F.coalesce(_mat(cv), F.lit(False))
+                branch = ccol if not_prior is None else (not_prior & ccol)
+                full = branch if cond is None else (cond & branch)
+                for st in block:
+                    self.stmt(st, full)
+                not_prior = (~ccol) if not_prior is None else (not_prior & ~ccol)
+            if s.otherwise is not None:
+                full = not_prior if cond is None else (cond & not_prior)
+                for st in s.otherwise:
+                    self.stmt(st, full)
+            return
+        if isinstance(s, P.Assign):
+            self._assign(s, cond)
+            return
+        # bare expression statement: evaluate for errors (e.g. assert(), abort-able calls)
+        v = self.expr(s)
+        if v.err is not None:
+            self._raise_err(v.err, cond)
+
+    def _raise_err(self, err: Column, cond: Column | None):
+        self.can_fail = True
+        raised = err.isNotNull()
+        if cond is not None:
+            raised = cond & raised
+        self.err_flag = self.err_flag | F.coalesce(raised, F.lit(False))
+
+    def _assign(self, s: P.Assign, cond: Column | None):
+        value = self.expr(s.expr)
+        if s.err_target is not None:
+            errcol = value.err if value.err is not None else F.lit(None).cast("string")
+            if value.err is not None:
+                okcol = F.when(value.err.isNull(), _mat(value)).otherwise(_zero(value.vtype))
+                ok = V(okcol, value.vtype)
+            else:
+                ok = V(_mat(value), value.vtype) if (value.fields or value.items) is None else value
+            self._assign_target(s.target, ok, cond)
+            self._assign_target(s.err_target, V(errcol, "string"), cond)
+            return
+        if value.err is not None:
+            self._raise_err(value.err, cond)
+            value = V(_mat(value), value.vtype) if value.fields is None and value.items is None \
+                else value
+        self._assign_target(s.target, value, cond)
+
+    def _assign_target(self, target, value: V, cond: Column | None):
+        if isinstance(target, P.Var):
+            if cond is not None:
+                old = self.vars.get(target.name, _null())
+                value = V(F.when(cond, _mat(value)).otherwise(_mat(old)),
+                          _unify(value.vtype, old.vtype))
+            self.vars[target.name] = value
+            return
+        if isinstance(target, P.Path):
+            if not target.segments:  # `. = expr` — root replacement
+                self._assign_root(value, cond)
+                return
+            self._set_path(target.segments, value, cond)
+            return
+        raise VrlCompileError(f"bad assignment target {target!r}")
+
+    def _assign_root(self, value: V, cond: Column | None):
+        if cond is not None:
+            raise VrlCompileError("conditional root assignment is not supported")
+        if value.items is not None:  # `. = [ev, ev, ...]` — multi-emit
+            self.emit_array = value
+            return
+        if value.fields is not None:
+            self.root = dict(value.fields)
+            self.deleted = set()
+            return
+        if value.vtype == "object" and value.col is not None:
+            raise VrlCompileError(
+                "root assignment from a dynamic object needs a schema: use "
+                "parse_json(value, schema: \"...\") or assign fields explicitly")
+        # scalar root → the event becomes {message: value} (VrlTarget
+        # semantics for non-collection roots)
+        self.root = {"message": value}
+        self.deleted = set()
+
+    def run(self, prog: P.Program):
+        for s in prog.stmts:
+            self.stmt(s, None)
+
+    def last_value(self, prog: P.Program) -> V:
+        """Compile a condition program: run all statements, value = the
+        final expression (src/conditions/vrl.rs resolves the same way)."""
+        if not prog.stmts:
+            raise VrlCompileError("empty VRL condition")
+        *init, last = prog.stmts
+        for s in init:
+            self.stmt(s, None)
+        if isinstance(last, (P.Assign, P.If, P.Abort)):
+            self.stmt(last, None)
+            return V(F.lit(True), "bool")
+        return self.expr(last)
+
+
+# ------------------------------------------------------- public API
+class CompiledProgram:
+    def __init__(self, source: str, drop_on_error: bool = False, drop_on_abort: bool = True,
+                 enrichment: dict | None = None):
+        self.source = source
+        self.ast = P.parse(source)
+        self.drop_on_error = drop_on_error
+        self.drop_on_abort = drop_on_abort
+        self.enrichment = enrichment
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        c = _Compiler(df.schema, self.enrichment)
+        c.run(self.ast)
+
+        if c.emit_array is not None:
+            # `. = [...]`: one row per element; element objects unify to
+            # the union of their field names
+            items = c.emit_array.items
+            names: list[str] = []
+            for it in items.values():
+                if it.fields is None:
+                    raise VrlCompileError("multi-emit root array elements must be objects")
+                for n in it.fields:
+                    if n not in names:
+                        names.append(n)
+            structs = [
+                F.struct(*[
+                    _mat(it.fields[n]).alias(n) if n in it.fields else F.lit(None).alias(n)
+                    for n in names
+                ])
+                for _, it in sorted(items.items())
+            ]
+            if c.can_fail or c.can_abort:
+                raise VrlCompileError("multi-emit cannot be combined with fallible programs")
+            out = df.select(F.explode(F.array(*structs)).alias("_ev"))
+            return out.select(*[out["_ev"][n].alias(n) for n in names])
+
+        fallible = c.can_fail or c.can_abort
+        rollback = None
+        if fallible:
+            rollback = F.coalesce(c.err_flag, F.lit(False)) | F.coalesce(
+                c.abort_flag, F.lit(False))
+
+        orig_names = [f.name for f in df.schema.fields]
+        ordered = [n for n in orig_names if n in c.root or n in c.deleted]
+        ordered += [n for n in c.root if n not in ordered]
+
+        cols = []
+        for name in ordered:
+            v = c.root.get(name)
+            if v is None:  # deleted field: drop it (restore on rollback)
+                if rollback is None:
+                    continue
+                cols.append(F.when(rollback, _qcol(name)).alias(name))
+                continue
+            new = _mat(v)
+            if rollback is not None:
+                if name in orig_names:
+                    orig = _qcol(name)
+                    # align types so the when() branches agree
+                    field = df.schema[name]
+                    if _spark_to_vtype(field.dataType) != v.vtype \
+                            and v.vtype in ("string", "int", "float", "bool"):
+                        tgt = {"string": "string", "int": "long",
+                               "float": "double", "bool": "boolean"}[v.vtype]
+                        orig = orig.cast(tgt)
+                    new = F.when(rollback, orig).otherwise(new)
+                else:
+                    new = F.when(~rollback, new)
+            cols.append(new.alias(name))
+
+        out = df.select(*cols)
+        if fallible:
+            keep = F.lit(True)
+            if self.drop_on_error:
+                keep = keep & ~F.coalesce(c.err_flag, F.lit(False))
+            if self.drop_on_abort:
+                keep = keep & ~F.coalesce(c.abort_flag, F.lit(False))
+            # the filter must see the PRE-select flags; recompute over df
+            out = df.select(*cols, keep.alias("__vrl_keep")).filter(
+                F.col("__vrl_keep")).drop("__vrl_keep")
+        return out
+
+
+def compile_program(source: str, drop_on_error: bool = False,
+                    drop_on_abort: bool = True,
+                    enrichment: dict | None = None) -> CompiledProgram:
+    return CompiledProgram(source, drop_on_error, drop_on_abort, enrichment)
+
+
+def compile_condition(source: str, schema: T.StructType,
+                      enrichment: dict | None = None) -> Column:
+    """A VRL condition (type = "vrl") → boolean Column over `schema`."""
+    c = _Compiler(schema, enrichment)
+    v = c.last_value(P.parse(source))
+    col = F.coalesce(_mat(v), F.lit(False))
+    if v.err is not None:
+        col = F.when(v.err.isNull(), col).otherwise(F.lit(False))
+    # a program that aborted or errored fails the condition
+    if c.can_fail or c.can_abort:
+        col = col & ~F.coalesce(c.err_flag, F.lit(False)) & ~F.coalesce(
+            c.abort_flag, F.lit(False))
+    return col

@@ -1,0 +1,434 @@
+"""VRL parser: tokens → AST.
+
+Statement/expression grammar follows the reference
+(/root/reference/lib/vrl/parser/src/parser.lalrpop via ast.rs:651-667
+for the operator set): programs are newline/;-separated statements;
+assignments take one target or an `ok, err` pair; `if`/`else if`/`else`
+blocks; `abort`; everything else is an expression. `??` (error
+coalescing) binds loosest, then `||`, `&&`, equality, comparison,
+additive, multiplicative/merge, unary, postfix path/call.
+
+A VRL *condition* is just a program whose value is its final
+expression (src/conditions/vrl.rs) — which is why a two-line condition
+in the reference behavior TOMLs only effectively checks its last line.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from vector_spark.vrl.lexer import Token, VrlSyntaxError, tokenize
+
+
+# --------------------------------------------------------------- AST
+@dataclass(frozen=True)
+class Lit:
+    value: object
+    kind: str  # int float string bool null regex timestamp
+
+
+@dataclass(frozen=True)
+class Arr:
+    items: tuple
+
+
+@dataclass(frozen=True)
+class Obj:
+    pairs: tuple  # ((key, expr), ...)
+
+
+@dataclass(frozen=True)
+class Path:
+    segments: tuple  # str | int; () == the event root "."
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Call:
+    name: str
+    args: tuple  # ((name|None, expr), ...)
+    bang: bool
+    start: int = 0
+    end: int = 0
+
+
+@dataclass(frozen=True)
+class Member:
+    base: object
+    segments: tuple  # path query applied to a non-root expression
+
+
+@dataclass(frozen=True)
+class Bin:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class Un:
+    op: str
+    expr: object
+
+
+@dataclass(frozen=True)
+class Assign:
+    target: object  # Path | Var
+    err_target: object | None  # Path | Var | None
+    expr: object
+
+
+@dataclass(frozen=True)
+class If:
+    clauses: tuple  # ((cond, block), ...)
+    otherwise: tuple | None  # block
+
+
+@dataclass(frozen=True)
+class Abort:
+    pass
+
+
+@dataclass
+class Program:
+    stmts: list = field(default_factory=list)
+
+
+# ------------------------------------------------------------ parser
+class _Parser:
+    def __init__(self, src: str):
+        self.src = src
+        self.toks = tokenize(src)
+        self.i = 0
+
+    # -- token helpers
+    def peek(self, k: int = 0) -> Token:
+        j = min(self.i + k, len(self.toks) - 1)
+        return self.toks[j]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        if t.kind != "EOF":
+            self.i += 1
+        return t
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.peek()
+        return t.kind == "OP" and t.value in ops
+
+    def expect_op(self, op: str) -> Token:
+        t = self.peek()
+        if not (t.kind == "OP" and t.value == op):
+            raise VrlSyntaxError(f"expected {op!r}, got {t.value!r}", t.pos, self.src)
+        return self.next()
+
+    def skip_nl(self):
+        while self.peek().kind == "NEWLINE":
+            self.next()
+
+    # -- program / statements
+    def parse_program(self) -> Program:
+        prog = Program()
+        self.skip_nl()
+        while self.peek().kind != "EOF":
+            prog.stmts.append(self.parse_stmt())
+            self._end_stmt()
+        return prog
+
+    def _end_stmt(self):
+        t = self.peek()
+        if t.kind == "NEWLINE" or (t.kind == "OP" and t.value == ";"):
+            self.next()
+            self.skip_nl()
+        elif t.kind not in ("EOF",) and not self.at_op("}"):
+            raise VrlSyntaxError(f"expected end of statement, got {t.value!r}", t.pos, self.src)
+
+    def parse_block(self) -> list:
+        self.expect_op("{")
+        self.skip_nl()
+        stmts = []
+        while not self.at_op("}"):
+            if self.peek().kind == "EOF":
+                raise VrlSyntaxError("unterminated block", self.peek().pos, self.src)
+            stmts.append(self.parse_stmt())
+            self.skip_nl()
+            if self.at_op(";"):
+                self.next()
+                self.skip_nl()
+        self.expect_op("}")
+        return stmts
+
+    def parse_stmt(self):
+        t = self.peek()
+        if t.kind == "IDENT" and t.value == "if":
+            return self.parse_if()
+        if t.kind == "IDENT" and t.value == "abort":
+            self.next()
+            return Abort()
+        # try assignment (backtracking: targets are a strict subset of exprs)
+        save = self.i
+        asn = self._try_assignment()
+        if asn is not None:
+            return asn
+        self.i = save
+        return self.parse_expr()
+
+    def _try_assignment(self):
+        try:
+            tgt = self._parse_target()
+            err_tgt = None
+            if self.at_op(","):
+                self.next()
+                self.skip_nl()
+                err_tgt = self._parse_target()
+            if not self.at_op("="):
+                return None
+            self.next()
+            self.skip_nl()
+            expr = self.parse_expr()
+            return Assign(tgt, err_tgt, expr)
+        except VrlSyntaxError:
+            return None
+
+    def _parse_target(self):
+        t = self.peek()
+        if t.kind == "DOT":
+            return self._parse_path()
+        if t.kind == "IDENT" and t.value not in ("if", "else", "true", "false", "null", "abort"):
+            # plain variable target (no calls/paths on variables as targets)
+            nxt = self.peek(1)
+            if nxt.kind == "OP" and nxt.value in (",", "="):
+                self.next()
+                return Var(t.value)
+        raise VrlSyntaxError("not a target", t.pos, self.src)
+
+    def parse_if(self) -> If:
+        clauses = []
+        otherwise = None
+        while True:
+            self.next()  # 'if'
+            cond = self.parse_expr()
+            self.skip_nl()
+            block = self.parse_block()
+            clauses.append((cond, tuple(block)))
+            # allow `else` on the same or next line
+            save = self.i
+            self.skip_nl()
+            t = self.peek()
+            if t.kind == "IDENT" and t.value == "else":
+                self.next()
+                self.skip_nl()
+                t2 = self.peek()
+                if t2.kind == "IDENT" and t2.value == "if":
+                    continue
+                otherwise = tuple(self.parse_block())
+                break
+            self.i = save
+            break
+        return If(tuple(clauses), otherwise)
+
+    # -- expressions (precedence climbing)
+    def parse_expr(self):
+        return self._coalesce()
+
+    def _bin_level(self, sub, ops: tuple[str, ...]):
+        left = sub()
+        while self.at_op(*ops):
+            op = self.next().value
+            self.skip_nl()
+            left = Bin(op, left, sub())
+        return left
+
+    def _coalesce(self):
+        return self._bin_level(self._or, ("??",))
+
+    def _or(self):
+        return self._bin_level(self._and, ("||",))
+
+    def _and(self):
+        return self._bin_level(self._eq, ("&&",))
+
+    def _eq(self):
+        return self._bin_level(self._cmp, ("==", "!="))
+
+    def _cmp(self):
+        return self._bin_level(self._add, ("<", ">", "<=", ">="))
+
+    def _add(self):
+        return self._bin_level(self._mul, ("+", "-"))
+
+    def _mul(self):
+        return self._bin_level(self._unary, ("*", "/", "%", "|"))
+
+    def _unary(self):
+        if self.at_op("!"):
+            self.next()
+            return Un("!", self._unary())
+        if self.at_op("-"):
+            self.next()
+            return Un("-", self._unary())
+        return self._postfix()
+
+    def _postfix(self):
+        e = self._primary()
+        # path query on an arbitrary expression result: f(x).foo[0]
+        segs: list = []
+        while True:
+            if self.peek().kind == "DOT" and self.peek(1).kind in ("IDENT", "STRING"):
+                self.next()
+                segs.append(self.next().value)
+            elif self.at_op("[") and self.peek(1).kind == "INT" and not isinstance(e, (Path,)):
+                self.next()
+                segs.append(int(self.next().value))
+                self.expect_op("]")
+            else:
+                break
+        if segs:
+            return Member(e, tuple(segs))
+        return e
+
+    def _parse_path(self) -> Path:
+        self.next()  # consume leading DOT
+        segs: list = []
+        t = self.peek()
+        if t.kind in ("IDENT", "STRING"):
+            segs.append(self.next().value)
+        else:
+            return Path(())  # bare `.` — the event root
+        while True:
+            if self.peek().kind == "DOT" and self.peek(1).kind in ("IDENT", "STRING"):
+                self.next()
+                segs.append(self.next().value)
+            elif self.at_op("[") and self.peek(1).kind == "INT":
+                self.next()
+                segs.append(int(self.next().value))
+                self.expect_op("]")
+            else:
+                break
+        return Path(tuple(segs))
+
+    def _primary(self):
+        t = self.peek()
+        if t.kind == "DOT":
+            return self._parse_path()
+        if t.kind == "INT":
+            self.next()
+            return Lit(t.value, "int")
+        if t.kind == "FLOAT":
+            self.next()
+            return Lit(t.value, "float")
+        if t.kind == "STRING":
+            self.next()
+            return Lit(t.value, "string")
+        if t.kind == "REGEX":
+            self.next()
+            return Lit(t.value, "regex")
+        if t.kind == "TIMESTAMP":
+            self.next()
+            return Lit(t.value, "timestamp")
+        if t.kind == "IDENT":
+            word = t.value
+            if word == "true":
+                self.next()
+                return Lit(True, "bool")
+            if word == "false":
+                self.next()
+                return Lit(False, "bool")
+            if word == "null":
+                self.next()
+                return Lit(None, "null")
+            nxt = self.peek(1)
+            if nxt.kind == "OP" and nxt.value in ("(", "!"):
+                return self._parse_call()
+            self.next()
+            return Var(word)
+        if self.at_op("("):
+            self.next()
+            self.skip_nl()
+            e = self.parse_expr()
+            self.skip_nl()
+            self.expect_op(")")
+            return e
+        if self.at_op("["):
+            return self._parse_array()
+        if self.at_op("{"):
+            return self._parse_object()
+        raise VrlSyntaxError(f"unexpected token {t.value!r}", t.pos, self.src)
+
+    def _parse_call(self) -> Call:
+        name_tok = self.next()
+        bang = False
+        if self.at_op("!"):
+            self.next()
+            bang = True
+        self.expect_op("(")
+        self.skip_nl()
+        args: list = []
+        while not self.at_op(")"):
+            arg_name = None
+            if (
+                self.peek().kind == "IDENT"
+                and self.peek(1).kind == "OP"
+                and self.peek(1).value == ":"
+            ):
+                arg_name = self.next().value
+                self.next()  # ':'
+                self.skip_nl()
+            args.append((arg_name, self.parse_expr()))
+            self.skip_nl()
+            if self.at_op(","):
+                self.next()
+                self.skip_nl()
+        close = self.expect_op(")")
+        return Call(name_tok.value, tuple(args), bang, name_tok.pos, close.end)
+
+    def _parse_array(self) -> Arr:
+        self.expect_op("[")
+        self.skip_nl()
+        items = []
+        while not self.at_op("]"):
+            items.append(self.parse_expr())
+            self.skip_nl()
+            if self.at_op(","):
+                self.next()
+                self.skip_nl()
+        self.expect_op("]")
+        return Arr(tuple(items))
+
+    def _parse_object(self) -> Obj:
+        self.expect_op("{")
+        self.skip_nl()
+        pairs = []
+        while not self.at_op("}"):
+            kt = self.peek()
+            if kt.kind not in ("STRING", "IDENT"):
+                raise VrlSyntaxError("object key must be a string", kt.pos, self.src)
+            self.next()
+            self.expect_op(":")
+            self.skip_nl()
+            pairs.append((kt.value, self.parse_expr()))
+            self.skip_nl()
+            if self.at_op(","):
+                self.next()
+                self.skip_nl()
+        self.expect_op("}")
+        return Obj(tuple(pairs))
+
+
+def parse(src: str) -> Program:
+    return _Parser(src).parse_program()
+
+
+def parse_expr(src: str):
+    """Parse a single expression (used by tests)."""
+    p = _Parser(src)
+    p.skip_nl()
+    e = p.parse_expr()
+    p.skip_nl()
+    if p.peek().kind != "EOF":
+        raise VrlSyntaxError("trailing input after expression", p.peek().pos, src)
+    return e
