@@ -89,11 +89,18 @@ def main(argv=None) -> int:
                     help="embedding near-dup dedup: LSH-banded candidate pairs at "
                     "cosine >= COS -> connected components -> keep the min-id "
                     "representative per cluster (banded path, linear shuffle)")
-    ap.add_argument("--neardup-bands", type=int, default=4)
+    ap.add_argument("--neardup-bands", type=int, default=0,
+                    help="LSH bands; 0 = derive jointly with --neardup-planes "
+                         "from the b*r tradeoff so boundary recall holds ~0.9 "
+                         "as the corpus (and with it the auto plane count) "
+                         "grows. Default changed 4 -> 0 in round 5; the "
+                         "resolved plan is recorded in the stage lineage")
     ap.add_argument("--neardup-planes", type=int, default=0,
                     help="planes per LSH band; 0 = auto-size the bucket space "
                          "from the corpus (ceil(log2(n/256)) — keeps candidate "
                          "volume linear as the corpus grows)")
+    ap.add_argument("--neardup-recall", type=float, default=0.9,
+                    help="target boundary recall for the auto b*r derivation")
     args = ap.parse_args(argv)
     if args.dsir_target and not args.dsir_keep:
         ap.error("--dsir-target requires --dsir-keep")
@@ -204,6 +211,7 @@ def main(argv=None) -> int:
                 dim=int(dim),
                 n_bands=args.neardup_bands,
                 band_planes=args.neardup_planes,
+                target_recall=args.neardup_recall,
             )
             comp_e = connected_components(pairs_e, "id_a", "id_b")
             losers = comp_e.filter(F.col("id") != F.col("component")).select(
@@ -211,8 +219,13 @@ def main(argv=None) -> int:
             )
             nd = fuzzy.join(losers, "doc_id", "left_anti").persist()
             n_nd = stage_counted(
-                "embedding_neardup", t0, nd, n_fuzzy, threshold=args.embedding_neardup
+                "embedding_neardup", t0, nd, n_fuzzy,
+                threshold=args.embedding_neardup,
+                # resolved LSH plan + boundary-recall estimate, so runs
+                # stay comparable across corpus sizes and rounds
+                **pairs_e.lsh_params,
             )
+            pairs_e.release()  # the embedding cache behind the band scans
             fuzzy.unpersist()
             fuzzy, n_fuzzy = nd, n_nd
 

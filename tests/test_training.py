@@ -244,6 +244,69 @@ def test_lsh_near_pairs_recall(spark):
     assert len(got_auto & truth) / len(truth) >= 0.9
 
 
+def test_auto_lsh_params_holds_recall_as_planes_grow():
+    """The b·r tradeoff: a fixed band count under a growing auto plane
+    count decays recall geometrically; auto_lsh_params must scale bands
+    so the analytic boundary recall stays >= target at every tier."""
+    from vector_spark.training.similarity import (
+        auto_lsh_params,
+        bands_for_recall,
+        estimate_lsh_recall,
+    )
+
+    # the measured decay the fix exists for (fixed b=4 at cosine 0.9)
+    assert estimate_lsh_recall(0.9, 4, 10) < 0.65
+    assert estimate_lsh_recall(0.9, 4, 13) < 0.50
+
+    prev_b = 0
+    for n in (10_000, 200_000, 2_000_000, 100_000_000):
+        b, p = auto_lsh_params(n, threshold=0.9, target_recall=0.9)
+        assert estimate_lsh_recall(0.9, b, p) >= 0.9, (n, b, p)
+        assert b >= prev_b  # bands grow with the plane count
+        prev_b = b
+    # explicit-p path derives the same b the joint path would at that p
+    assert bands_for_recall(0.9, 10) >= 8
+
+
+def test_lsh_recall_at_high_plane_tier(spark):
+    """Empirical recall at p>=8 (the tier ADVICE r4 flagged as
+    unverified): planted near-pairs above cosine 0.92 recovered at
+    >= 0.85 by the auto-derived (b, p) plan, vs a numpy all-pairs
+    truth. bucket_target is shrunk so the auto p reaches 8 without a
+    huge fixture."""
+    import numpy as np
+
+    from vector_spark.training.similarity import lsh_near_pairs
+
+    rng = np.random.RandomState(11)
+    dim = 32
+    rows, vid = [], 0
+    for _ in range(150):  # planted near-dup pairs (tight perturbations)
+        center = rng.randn(dim)
+        for _ in range(2):
+            v = center + 0.02 * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v.astype("float32")]))
+            vid += 1
+    for _ in range(1800):
+        rows.append((vid, [float(x) for x in rng.randn(dim).astype("float32")]))
+        vid += 1
+
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ia, ib = np.triu_indices(len(rows), k=1)
+    mask = sims[ia, ib] >= 0.92
+    truth = {(int(a), int(b)) for a, b in zip(ia[mask], ib[mask])}
+    assert len(truth) >= 100
+
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pairs = lsh_near_pairs(emb, threshold=0.92, dim=dim, bucket_target=8)
+    assert pairs.lsh_params["band_planes"] >= 8, pairs.lsh_params
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.85, (recall, pairs.lsh_params)
+
+
 def test_auto_band_planes_keeps_bucket_occupancy_linear():
     """The plane count must grow with log2(n): a fixed bucket space
     makes same-bucket pair work quadratic in the corpus (the sf10

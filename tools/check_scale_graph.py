@@ -132,10 +132,15 @@ def main() -> int:
     ref_keys = np.sort(np.concatenate(ref_chunks))
     del ref_chunks
 
+    # build the id→index map in the column's NATIVE type: a str() cast
+    # here would make both joins silently drop every pair for non-string
+    # doc_ids and degrade the check to comparing empty sets
+    id_type = dict(zip(fp.schema.names, fp.schema))["doc_id"].dataType.simpleString()
     idx_map = spark.createDataFrame(
-        [(str(d), int(i)) for i, d in enumerate(ids)], "doc_id string, idx long"
+        [(d, int(i)) for i, d in enumerate(ids)], f"doc_id {id_type}, idx long"
     )
     got = hamming_near_pairs(fp, max_dist=3, bits=48, n_seg=6, id_col="doc_id")
+    got_count = got.count()
     got_keys_df = (
         got.select(
             F.least("id_a", "id_b").alias("lo"), F.greatest("id_a", "id_b").alias("hi")
@@ -145,6 +150,11 @@ def main() -> int:
         .select((F.col("i") * n + F.col("j")).alias("key"))
     )
     got_keys = np.sort(got_keys_df.toPandas()["key"].to_numpy().astype(np.uint64))
+    # every pair must survive the index joins — a lossy join here would
+    # otherwise read as a (vacuous) pass
+    assert len(got_keys) == got_count, (
+        f"id join dropped pairs: {got_count} pairs, {len(got_keys)} joined"
+    )
     fp.unpersist()
     report["hamming_neardup"] = {
         "pairs": int(len(got_keys)),

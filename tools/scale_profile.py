@@ -38,18 +38,25 @@ def main() -> int:
         if sb is None:
             continue
         ratio = sb / sa if sa > 0 else float("inf")
-        # effective growth after discounting fixed overhead on both sides
-        ga = max(sa - args.overhead, 0.05)
+        # effective growth after discounting fixed overhead on both sides;
+        # when the small side sits INSIDE the overhead envelope the
+        # discount floor fabricates huge ratios, so the effective ratio
+        # is reported as unresolved (None / "-") there instead of a
+        # misleading 20x — verdict and display always agree
+        resolvable = sa - args.overhead > 0.05
         gb = max(sb - args.overhead, 0.05)
-        eff = gb / ga
-        ok = sb <= args.factor * sa + args.overhead
+        eff = gb / (sa - args.overhead) if resolvable else None
+        if resolvable:
+            ok = eff <= args.factor * 1.5
+        else:
+            ok = sb <= args.factor * sa + args.overhead
         rows.append(
             {
                 "query": q,
                 "small_s": sa,
                 "big_s": sb,
                 "ratio": round(ratio, 2),
-                "scaled_ratio": round(eff, 2),
+                "scaled_ratio": round(eff, 2) if eff is not None else None,
                 "linear_ok": ok,
                 "tainted": [s for s, t in (("small", ta), ("big", tb)) if q in t] or None,
             }
@@ -58,13 +65,16 @@ def main() -> int:
     rows.sort(key=lambda r: -r["ratio"])
     flagged = [r for r in rows if not r["linear_ok"]]
 
-    print(f"| query | sf-small s | sf-big s | ratio | verdict |")
-    print(f"|---|---|---|---|---|")
+    print(f"| query | sf-small s | sf-big s | ratio | eff ratio | verdict |")
+    print(f"|---|---|---|---|---|---|")
     for r in rows:
         verdict = "ok" if r["linear_ok"] else "**SUPER-LINEAR**"
         if r["tainted"]:
             verdict += f" (tainted: {','.join(r['tainted'])})"
-        print(f"| {r['query']} | {r['small_s']} | {r['big_s']} | {r['ratio']} | {verdict} |")
+        print(
+            f"| {r['query']} | {r['small_s']} | {r['big_s']} | {r['ratio']} "
+            f"| {r['scaled_ratio'] if r['scaled_ratio'] is not None else '-'} | {verdict} |"
+        )
     print()
     print(
         json.dumps(

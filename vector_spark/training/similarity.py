@@ -435,15 +435,67 @@ def auto_band_planes(n_rows: int, bucket_target: int = 256, floor: int = 4) -> i
     return max(floor, math.ceil(math.log2(max(n_rows / max(bucket_target, 1), 2.0))))
 
 
+def estimate_lsh_recall(threshold: float, n_bands: int, band_planes: int) -> float:
+    """Expected recall of sign-LSH banding for a pair at exactly
+    `threshold` cosine: per-plane collision q = 1 - acos(t)/pi, a band
+    collides with q^p, any-of-b bands → 1 - (1 - q^p)^b. Pairs above
+    the threshold do better, so this is the worst-case (boundary)
+    recall the b/r tradeoff must defend."""
+    import math
+
+    q = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    return 1.0 - (1.0 - q ** band_planes) ** n_bands
+
+
+def auto_lsh_params(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.9,
+    bucket_target: int = 256,
+    floor: int = 4,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """Joint (n_bands, band_planes) from the standard LSH b·r tradeoff.
+
+    p comes from bucket occupancy (auto_band_planes) so per-band
+    candidate volume stays ~n·bucket_target — linear in the corpus.
+    Holding b fixed while p grows with log2(n) makes recall decay
+    GEOMETRICALLY (at cosine 0.9: ~0.61 with b=4/p=10 at 200k rows,
+    ~0.44 at p=13/2M rows), so b must grow with p:
+        b = ceil( ln(1-target) / ln(1-q^p) ),  q = 1 - acos(t)/pi.
+    b grows slowly (≈ q^-p scaled), and total candidate volume stays
+    b·n·bucket_target — still linear in n per decade, which is the
+    100 TB contract. Capped at max_bands as a runaway guard (hit only
+    for thresholds far below any dedup setting; the cap is reported by
+    the caller via estimate_lsh_recall)."""
+    p = auto_band_planes(n_rows, bucket_target, floor)
+    return bands_for_recall(threshold, p, target_recall, max_bands), p
+
+
+def bands_for_recall(threshold: float, band_planes: int,
+                     target_recall: float = 0.9, max_bands: int = 64) -> int:
+    """Bands needed so boundary-cosine recall reaches target_recall at a
+    given per-band width: b = ceil(ln(1-target) / ln(1-q^p))."""
+    import math
+
+    q = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    band_hit = q ** band_planes
+    if band_hit >= 1.0 - 1e-12:
+        return 1
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - band_hit))
+    return max(1, min(max_bands, b))
+
+
 def lsh_near_pairs(
     emb: DataFrame,
     threshold: float,
     dim: int,
-    n_bands: int = 4,
+    n_bands: int = 0,
     band_planes: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_target: int = 256,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Near-dup PAIRS at scale: LSH banding instead of the all-pairs
     scan. Each band hashes every vector to a `band_planes`-bit
@@ -462,15 +514,37 @@ def lsh_near_pairs(
     grow-the-codebook contract as semantic_dedup's n_cells=0. A fixed p
     (the oracle-pinned registry form) is quadratic in corpus size —
     2^p buckets saturate — and only appropriate when n is known and
-    bounded. Costs one count() job.
+    bounded. Costs one count() job (over a frame persisted for the
+    2·b band scans + the two join-backs, released on first consumption
+    via the _release_after_compute convention).
+
+    `n_bands=0` (the default) derives b JOINTLY with p from the
+    standard b·r tradeoff (auto_lsh_params): recall at the threshold is
+    1-(1-q^p)^b, so a fixed b under a growing p under-recalls large
+    corpora geometrically — b must scale with p to hold
+    `target_recall`. The resolved plan is exposed on the returned frame
+    as `df.lsh_params = {n_bands, band_planes, est_recall}` so callers
+    can put it in lineage; an explicit n_bands>0 is honored as given
+    (the oracle-pinned forms) with est_recall still reported.
 
     Candidates travel as bare (id_a, id_b) pairs — vectors join back
     AFTER the cross-band dedup, so the wide rows cross the shuffle once
     per SIDE, not once per candidate (at 200k x dim-64 the carry-through
     form shuffled ~160 GB and died; join-back ships 16-byte pairs and
     lets AQE broadcast the vector side when it fits)."""
-    if not band_planes:
+    from vector_spark.training.dedup import _release_after_compute
+
+    auto = not band_planes or not n_bands
+    if auto:
+        emb = emb.persist()  # count + 2·b band scans + 2 join-backs
+    if not band_planes and not n_bands:
+        n_bands, band_planes = auto_lsh_params(
+            emb.count(), threshold, target_recall, bucket_target)
+    elif not band_planes:
         band_planes = auto_band_planes(emb.count(), bucket_target)
+    elif not n_bands:
+        n_bands = bands_for_recall(threshold, band_planes, target_recall)
+    est_recall = estimate_lsh_recall(threshold, n_bands, band_planes)
     pair_sets = []
     for band in range(n_bands):
         planes = random_hyperplanes(dim, band_planes, seed=1000 + band)
@@ -488,7 +562,7 @@ def lsh_near_pairs(
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     cos = cosine(F.col("__va"), F.col("__vb"))
-    return (
+    out = (
         cands.dropDuplicates(["id_a", "id_b"])
         .join(va, "id_a")
         .join(vb, "id_b")
@@ -496,3 +570,13 @@ def lsh_near_pairs(
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", "cos_raw")
     )
+    if auto:
+        out = _release_after_compute(out, emb)
+    else:
+        out.release = lambda: None  # uniform caller contract
+    out.lsh_params = {
+        "n_bands": n_bands,
+        "band_planes": band_planes,
+        "est_recall": round(est_recall, 4),
+    }
+    return out
