@@ -60,13 +60,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
+_SCALE_CLASS: dict[str, str] = {}
+
+# scale_class vocabulary (machine-readable; surfaced via scale_class()
+# and pinned by tests/test_plan_hygiene.py):
+#   linear    — shuffle/compute volume grows ~linearly with the input;
+#               the measured decade profiles (SCALE_PROFILE_r4*.md) are
+#               the evidence
+#   baseline  — quadratic-by-design verification twin of a linear path;
+#               exists to oracle the banded/bucketed form, never the
+#               100 TB route. Each tagged query names its linear twin
+#               in _BASELINE_TWIN.
+_BASELINE_TWIN: dict[str, str] = {
+    "ngram_jaccard": "lsh_candidates",  # MinHash-LSH banding
+    "shingle_suite": "lsh_candidates",  # contains the same pair join
+    "embedding_neardup": "embedding_neardup_lsh (band_planes=0 auto form)",
+    "embedding_neardup_lsh": "lsh_near_pairs auto form (registry pins p for the oracle)",
+    "semantic_dedup": "semantic_dedup n_cells=0 auto form (registry pins 16 cells)",
+    "ann_topk": "ivf_topk",  # brute-force cosine top-k recall oracle
+}
 
 
-def _q(name: str, oracle: str | None = None):
+def _q(name: str, oracle: str | None = None, scale_class: str = "linear"):
     def deco(fn):
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
+        _SCALE_CLASS[name] = scale_class
         return fn
 
     return deco
@@ -737,10 +757,11 @@ def q_langid(spark, sf):
     "embedding_neardup",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
     """,
+    scale_class="baseline",
 )
 def q_embedding_neardup(spark, sf):
     from vector_spark.training.baselines import all_pairs_neardup  # TEST-ONLY oracle baseline
@@ -760,13 +781,14 @@ def q_embedding_neardup(spark, sf):
     cands AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
     scored AS (
       SELECT q.vec_id AS qid, c.vec_id AS cid,
-             list_cosine_similarity(q.embedding, c.embedding) AS cos
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
       FROM queries q CROSS JOIN cands c)
     SELECT qid, cid, round(cos, 4) AS cos FROM (
       SELECT qid, cid, cos,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
       FROM scored) WHERE rk <= 3
     """,
+    scale_class="baseline",
 )
 def q_ann_topk(spark, sf):
     from vector_spark.training.baselines import brute_force_topk  # TEST-ONLY oracle baseline
@@ -801,6 +823,7 @@ def q_ann_topk(spark, sf):
     FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
     WHERE i / (sa.n + sb.n - i) >= 0.5
     """,
+    scale_class="baseline",
 )
 def q_ngram_jaccard(spark, sf):
     from vector_spark.training.dedup import ngram_jaccard_pairs
@@ -1363,7 +1386,7 @@ def q_metric_quantiles(spark, sf):
     cands AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
     scored AS (
       SELECT q.vec_id AS qid, c.vec_id AS cid,
-             list_cosine_similarity(q.embedding, c.embedding) AS cos
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
       FROM queries q CROSS JOIN cands c)
     SELECT qid, cid, round(cos, 4) AS cos FROM (
       SELECT qid, cid, cos,
@@ -1938,12 +1961,13 @@ def _lsh_bucket_sql(band: int, dim: int = 64, band_planes: int = 8) -> str:
         ON x.vec_id < y.vec_id
        AND (x.bucket0 = y.bucket0 OR x.bucket1 = y.bucket1))
     SELECT c.id_a, c.id_b,
-           round(list_cosine_similarity(ea.embedding, eb.embedding), 4) AS cos
+           round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos
     FROM cand c
     JOIN embeddings ea ON ea.vec_id = c.id_a
     JOIN embeddings eb ON eb.vec_id = c.id_b
-    WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.35
+    WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.35
     """,
+    scale_class="baseline",
 )
 def q_embedding_neardup_lsh(spark, sf):
     from vector_spark.training.similarity import lsh_near_pairs
@@ -2297,6 +2321,7 @@ def q_decontaminate(spark, sf):
     SELECT 'decontaminate' AS op, count(*) AS n,
            CAST(coalesce(sum(n_hits), 0) AS BIGINT) AS chk FROM cont
     """,
+    scale_class="baseline",
 )
 def q_shingle_suite(spark, sf):
     from vector_spark.training.dedup import (
@@ -3573,7 +3598,7 @@ def q_domain_mix_sample(spark, sf):
     "semantic_dedup",
     """
     WITH cents AS (
-      SELECT vec_id AS cell_id, embedding AS cvec,
+      SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cvec,
              row_number() OVER (
                ORDER BY ('0x'||substr(md5(vec_id::VARCHAR),1,15))::BIGINT,
                         vec_id) AS rk
@@ -3582,15 +3607,15 @@ def q_domain_mix_sample(spark, sf):
       SELECT e.vec_id, e.embedding, c.cell_id,
              row_number() OVER (
                PARTITION BY e.vec_id
-               ORDER BY round(list_cosine_similarity(e.embedding, c.cvec), 4)
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 4)
                           DESC,
                         c.cell_id) AS ark
       FROM embeddings e CROSS JOIN cents c QUALIFY ark = 1),
     stats AS (
       SELECT a.vec_id,
-             max(list_cosine_similarity(a.embedding, b.embedding)) AS mc,
+             max(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) AS mc,
              max(CASE WHEN b.vec_id < a.vec_id
-                       AND list_cosine_similarity(a.embedding, b.embedding)
+                       AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                            >= 0.35 THEN 1 ELSE 0 END) AS dup
       FROM assigned a JOIN assigned b
         ON a.cell_id = b.cell_id AND a.vec_id != b.vec_id
@@ -3599,6 +3624,7 @@ def q_domain_mix_sample(spark, sf):
            coalesce(s.dup = 1, false) AS is_dup
     FROM assigned a LEFT JOIN stats s USING (vec_id)
     """,
+    scale_class="baseline",
 )
 def q_semantic_dedup(spark, sf):
     from vector_spark.training.similarity import semantic_dedup
@@ -3725,3 +3751,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+def scale_class() -> dict[str, dict]:
+    """Per-query scale metadata: {"class": "linear"|"baseline",
+    "linear_twin": ...} — baseline = quadratic-by-design verification
+    twin, with the production-scale path it oracles named."""
+    out = {}
+    for name, cls in _SCALE_CLASS.items():
+        meta = {"class": cls}
+        if cls == "baseline":
+            meta["linear_twin"] = _BASELINE_TWIN[name]
+        out[name] = meta
+    return out

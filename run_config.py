@@ -108,9 +108,15 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.validate:
         from vector_spark.plans.config import ConfigError
+        from vector_spark.streaming.kafka import EnvironmentBlocked
 
         try:
             compile_config(spark, toml_text)
+        except EnvironmentBlocked as e:
+            # config compiles and the component is wired; only the
+            # runtime dependency (jars/broker) is missing here
+            print(f"ok (environment-blocked at runtime: {e})")
+            return 0
         except ConfigError as e:
             print(f"invalid: {e}")
             return 1

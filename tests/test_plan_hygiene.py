@@ -100,3 +100,29 @@ def test_single_arrow_eval_per_query(plans):
         if plan.count("ArrowEvalPython") > 1
     }
     assert not bad, f"plans with multiple ArrowEvalPython nodes: {bad}"
+
+
+def test_every_query_has_a_scale_class():
+    """Every registry query is either scale-profiled-linear or an
+    explicitly tagged quadratic-by-design baseline naming its linear
+    twin (VERDICT r4 item 4). New queries default to "linear", which
+    the decade profiles (tools/scale_sweep.py) are expected to defend;
+    anything quadratic MUST be tagged at registration."""
+    import __spark_entry__ as entry
+
+    sc = entry.scale_class()
+    qs = entry.queries()
+    assert set(sc) == set(qs)
+    allowed = {"linear", "baseline"}
+    bad = {k: v for k, v in sc.items() if v["class"] not in allowed}
+    assert not bad, bad
+    for name, meta in sc.items():
+        if meta["class"] == "baseline":
+            assert meta.get("linear_twin"), f"{name} baseline without a linear twin"
+    # the known quadratic verification twins must stay tagged
+    must_be_baseline = {
+        "ngram_jaccard", "shingle_suite", "embedding_neardup",
+        "embedding_neardup_lsh", "semantic_dedup", "ann_topk",
+    }
+    tagged = {k for k, v in sc.items() if v["class"] == "baseline"}
+    assert must_be_baseline <= tagged, must_be_baseline - tagged

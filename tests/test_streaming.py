@@ -499,3 +499,82 @@ def test_http_spool_source_end_to_end(spark, tmp_path):
         assert procs == ["web.1", "web.2", "web.3"]
     finally:
         srv.stop()
+
+
+# ---- kafka compile-wire (src/sources/kafka.rs, src/sinks/kafka/) ----
+# No broker and no connector jars in this image, so these pin the part
+# with real logic — config translation and the environment-blocked
+# contract — without executing against Kafka.
+
+
+def test_kafka_reader_options_translate_reference_config():
+    from vector_spark.streaming.kafka import kafka_reader_options
+
+    opts = kafka_reader_options(
+        {
+            "bootstrap_servers": "broker-1:9092,broker-2:9092",
+            "topics": ["logs", "^metrics-.*"],
+            "group_id": "vector",
+            "auto_offset_reset": "beginning",
+            "librdkafka_options": {"security.protocol": "ssl"},
+        }
+    )
+    assert opts["kafka.bootstrap.servers"] == "broker-1:9092,broker-2:9092"
+    assert opts["subscribe"] == "logs,^metrics-.*"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["kafka.group.id"] == "vector"
+    assert opts["kafka.security.protocol"] == "ssl"
+    assert int(opts["maxOffsetsPerTrigger"]) > 0  # the backpressure dial
+
+
+def test_kafka_record_codecs(spark):
+    from vector_spark.streaming.kafka import decode_kafka_records, encode_kafka_records
+
+    raw = spark.createDataFrame(
+        [(b"k1", b'{"m": 1}', "logs", 0, 42, None)],
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp",
+    )
+    ev = decode_kafka_records(raw, {"key_field": "mk"})
+    row = ev.collect()[0]
+    assert row.message == '{"m": 1}' and row.mk == "k1"
+    assert row.topic == "logs" and row.offset == 42
+
+    enc = encode_kafka_records(
+        ev.select("message", F.col("mk")), {"key_field": "mk", "encoding": {"codec": "json"}}
+    ).collect()[0]
+    assert enc.key == "k1" and '"message":"{' in enc.value.replace(" ", "")
+
+    txt = encode_kafka_records(
+        ev.select("message"), {"encoding": {"codec": "text", "field": "message"}}
+    ).collect()[0]
+    assert txt.value == '{"m": 1}'
+
+
+def test_kafka_source_environment_blocked_and_validate(spark):
+    import pytest as _pytest
+
+    from vector_spark.plans.config import compile_config
+    from vector_spark.streaming.kafka import EnvironmentBlocked
+
+    toml_text = """
+[sources.in_kafka]
+type = "kafka"
+bootstrap_servers = "localhost:9092"
+topics = ["logs"]
+group_id = "vector"
+
+[transforms.keep_errors]
+inputs = ["in_kafka"]
+type = "filter"
+condition = { type = "vrl", source = 'contains(string!(.message), "error")' }
+
+[sinks.out_kafka]
+inputs = ["keep_errors"]
+type = "kafka"
+bootstrap_servers = "localhost:9092"
+topic = "errors"
+encoding.codec = "json"
+"""
+    with _pytest.raises(EnvironmentBlocked, match="environment-blocked"):
+        compile_config(spark, toml_text)

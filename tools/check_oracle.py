@@ -40,12 +40,103 @@ def rowset(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def _cell_close(a: str, b: str, rel_tol: float) -> bool:
+    if a == b:
+        return True
+    try:
+        fa, fb = float(a), float(b)
+    except (TypeError, ValueError):
+        return False
+    return math.isclose(fa, fb, rel_tol=rel_tol, abs_tol=rel_tol)
+
+
+def rowsets_close(rs, rd, rel_tol: float) -> bool:
+    """Tolerant compare for scale tiers: exact (%.6f) agreement on a
+    1e11-magnitude SUM demands 1e-17 relative precision, beyond what
+    differing accumulation orders (Spark partial aggs vs DuckDB) can
+    deliver. Rows pair up by the already-sorted normalized rowsets;
+    float cells then compare with relative tolerance. Only used when
+    --rel-tol is passed, and the artifact records both the tolerance
+    and which rows passed tolerantly."""
+    if len(rs) != len(rd):
+        return False
+    return all(
+        len(a) == len(b) and all(_cell_close(x, y, rel_tol) for x, y in zip(a, b))
+        for a, b in zip(rs, rd)
+    )
+
+
+def _py_oracle_pack_fill_compare(spark, sf_dir):
+    """Driver-side oracle for pack_fill_compare (the mutable bin scan is
+    not SQL-expressible): re-derive next-fit and FFD fills in plain
+    Python over the same (doc_id, n_tok, shard) input. Only the shard
+    hash is taken from Spark (pmod(xxhash64) has no portable SQL twin);
+    the packing itself — the logic under test — is an independent
+    reimplementation of training/packing.py's sweep."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("n_tok"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(4)).alias("shard"),
+        )
+        .toPandas()
+    )
+    max_len = 2048
+    out = []
+    for strat in ("next_fit", "ffd"):
+        fills_all = []  # final fill per pack across shards
+        for _, grp in docs.groupby("shard"):
+            if strat == "next_fit":
+                seq = grp.sort_values("doc_id")["n_tok"]
+                fills, cur = [], 0
+                first = True
+                for n in seq:
+                    n = int(n)
+                    if not first and cur + n > max_len:
+                        fills.append(cur)
+                        cur = 0
+                    first = False
+                    cur += n
+                fills.append(cur)
+            else:
+                seq = grp.sort_values(["n_tok", "doc_id"],
+                                      ascending=[False, True])["n_tok"]
+                fills = []
+                for n in seq:
+                    n = int(n)
+                    for b in range(len(fills)):
+                        if fills[b] + n <= max_len:
+                            fills[b] += n
+                            break
+                    else:
+                        fills.append(n)
+            fills_all.extend(fills)
+        n_packs = len(fills_all)
+        total = sum(fills_all)
+        avg_fill = round(sum(round(f / max_len, 4) for f in fills_all) / n_packs, 4)
+        out.append((strat, n_packs, total, avg_fill))
+    return ["strategy", "n_packs", "total_tok", "avg_fill"], out
+
+
+# driver-side Python oracles for queries whose semantics SQL can't
+# express (mutable scans); compared with the same rowset machinery
+PY_ORACLES = {"pack_fill_compare": _py_oracle_pack_fill_compare}
+
+
 def main():
     argv = sys.argv[1:]
     json_out = None
+    rel_tol = None
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    if "--rel-tol" in argv:
+        i = argv.index("--rel-tol")
+        rel_tol = float(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -79,16 +170,19 @@ def main():
             }
             print(f"FAIL {name}: spark error: {e}")
             continue
-        if name not in oracles:
+        if name not in oracles and name not in PY_ORACLES:
             report[name] = {
                 "no_oracle": True, "spark_rows": len(s_rows), "err": None,
             }
             print(f"ROWS-ONLY {name}: {len(s_rows)} rows, schema={s_cols} ({time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            d_cols = [c[0] for c in cur.description]
-            d_rows = cur.fetchall()
+            if name in PY_ORACLES:
+                d_cols, d_rows = PY_ORACLES[name](spark, sf_dir)
+            else:
+                cur = con.execute(oracles[name])
+                d_cols = [c[0] for c in cur.description]
+                d_rows = cur.fetchall()
         except Exception as e:
             failures.append(name)
             report[name] = {
@@ -105,10 +199,13 @@ def main():
             status.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if not schema_match:
             status.append(f"schema spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        tol_match = False
         if not status:
             rs, rd = rowset(s_cols, s_rows), rowset(d_cols, d_rows)
             hash_match = rs == rd
-            if not hash_match:
+            if not hash_match and rel_tol is not None:
+                tol_match = rowsets_close(rs, rd, rel_tol)
+            if not hash_match and not tol_match:
                 diff = [(a, b) for a, b in zip(rs, rd) if a != b][:3]
                 status.append(f"values differ, first diffs: {diff}")
         report[name] = {
@@ -116,9 +213,14 @@ def main():
             "hash_match": hash_match, "spark_rows": len(s_rows),
             "oracle_rows": len(d_rows), "err": None,
         }
+        if tol_match:
+            report[name]["tol_match"] = True
+            report[name]["rel_tol"] = rel_tol
         if status:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(status)}")
+        elif tol_match:
+            print(f"OK~  {name}: {len(s_rows)} rows (rel_tol={rel_tol}, {time.time()-t0:.1f}s)")
         else:
             print(f"OK   {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
 

@@ -87,11 +87,21 @@ def _src_internal_metrics(spark, cfg):
     return df
 
 
+def _src_kafka(spark, cfg):
+    """Compile-wired kafka source (src/sources/kafka.rs); raises
+    EnvironmentBlocked in jar-less environments — run_config --validate
+    reports that state honestly instead of failing the config."""
+    from vector_spark.streaming.kafka import kafka_source
+
+    return kafka_source(spark, cfg)
+
+
 SOURCES = {
     "parquet": _src_parquet,
     "generator": _src_generator,
     "stream_parquet": _src_stream_parquet,
     "internal_metrics": _src_internal_metrics,
+    "kafka": _src_kafka,
 }
 
 
@@ -1023,6 +1033,10 @@ class CompiledTopology:
             elif kind == "console":
                 df.show(int(cfg.get("limit", 20)))
                 results[name] = "shown"
+            elif kind == "kafka":
+                from vector_spark.streaming.kafka import kafka_sink
+
+                results[name] = kafka_sink(df, cfg)
             else:
                 raise ConfigError(f"unknown sink type {kind!r}")
             if top is not None:
@@ -1095,6 +1109,10 @@ class CompiledTopology:
                     name, sum(int(p["numInputRows"]) for p in q.recentProgress)
                 )
             return df.sparkSession.table(f"__cfg_{name}").collect()
+        if kind == "kafka":
+            from vector_spark.streaming.kafka import kafka_sink
+
+            return kafka_sink(df, cfg)
         raise ConfigError(f"sink type {kind!r} does not support streaming inputs")
 
 
