@@ -117,6 +117,7 @@ HEADLINE = [
     "split_corpus",
     "source_kl",
     "length_stats",
+    "vrl_compile",  # round 5: the VRL source-text compiler flagship
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "500000"))

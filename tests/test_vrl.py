@@ -263,3 +263,40 @@ def test_unknown_function_is_named_compile_error(spark):
     df = spark.createDataFrame([{"m": ""}])
     with pytest.raises(Exception, match="not wired"):
         compile_program('.x = definitely_not_a_function(.m)').apply(df)
+
+
+def test_wide_stdlib_registry(spark):
+    """The widened VRL registry (parsers / ip family / redact): each
+    call compiles to Columns, object results support member access for
+    both struct- and map-typed values (getItem), and fallibility flows
+    through the error channel."""
+    df = spark.createDataFrame([{
+        "apache": '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+                  '"GET /x HTTP/1.0" 200 2326',
+        "url": "https://u:p@h.example.com:8080/a/b?k=v#f",
+        "qs": "a=1&b=two",
+        "lf": "lvl=info msg=ok",
+        "dur": "15ms",
+        "num": "ff",
+        "ip": "10.1.2.3",
+        "card": "my card 4242424242424242 thanks",
+    }])
+    out = compile_program(
+        '.st = parse_apache_log!(.apache).status\n'
+        '.host = parse_url!(.url).host\n'
+        '.qa = parse_query_string(.qs).a\n'
+        '.level = parse_logfmt(.lf).lvl\n'
+        '.ms, err = parse_duration(.dur, unit: "ms")\n'
+        '.n = parse_int!(.num, base: 16)\n'
+        '.ipn = ip_aton!(.ip)\n'
+        '.subnet = ip_subnet(.ip, 8)\n'
+        '.red = redact(.card, patterns: ["[0-9]{16}"])'
+    ).apply(df)
+    r = out.collect()[0]
+    assert str(r.st) == "200" and r.host == "h.example.com"
+    assert r.qa == "1" and r.level == "info"
+    assert abs(r.ms - 15.0) < 1e-9 and r.n == 255
+    assert r.ipn == 167838211 and r.subnet == "10.0.0.0"
+    assert "4242" not in r.red and "[REDACTED]" in r.red
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

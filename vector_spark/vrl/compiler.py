@@ -662,8 +662,69 @@ def _fn_find_enrichment_records(c, args, call):
     return V(looked, "array", err=_combine_err(cond.err, err))
 
 
+def _dict_parser(fn, *extra_params: str, detail: str = "parser did not match"):
+    """Wrap a functions/parse.py builder returning dict[str, Column] as a
+    concrete-object VRL function (parse_syslog, parse_apache_log, ...):
+    the captures become compile-time object fields, fallible when every
+    capture is null while the input isn't."""
+
+    def build(c, args, call):
+        v = args["value"]
+        col = _mat(v)
+        pos = [col]
+        for p in extra_params:
+            if p in args:
+                a = args[p]
+                pos.append(a.const if a.has_const else _mat(a))
+        caps = fn(*pos)
+        fields = {
+            name: V(cc, "any" if isinstance(cc, Column) else "string")
+            for name, cc in caps.items()
+        }
+        any_hit = F.lit(False)
+        for cc in caps.values():
+            any_hit = any_hit | cc.isNotNull()
+        err = F.when(~any_hit & col.isNotNull(), _call_err(call, detail))
+        return V(None, "object", fields=fields, err=_combine_err(v.err, err))
+
+    return build
+
+
+def _fn_redact(c, args, call):
+    from vector_spark.functions.strings import redact
+
+    v = args["value"]
+    pats = args.get("patterns")
+    if pats is None or pats.items is None:
+        raise VrlCompileError("redact() needs a literal patterns array")
+    patterns = []
+    for it in pats.items.values():
+        if not it.has_const:
+            raise VrlCompileError("redact() patterns must be literals")
+        patterns.append(it.const)
+    text = args.get("text")
+    return V(
+        redact(_mat(v), patterns,
+               text.const if (text is not None and text.has_const) else "[REDACTED]"),
+        "string", err=v.err,
+    )
+
+
+def _fn_log(c, args, call):
+    # VRL log(): observability side effect; in a declarative plan the
+    # honest mapping is a no-op returning null (documented)
+    return _null()
+
+
 def _registry():
+    from vector_spark.functions import ip as IP
+    from vector_spark.functions import parse as PF
     from vector_spark.functions import strings as S
+
+    def parse_apache(col, fmt="common"):
+        # reference parse_apache_log takes format common|combined|error;
+        # the shared builder handles common/combined field supersets
+        return PF.parse_apache_log(col)
 
     r: dict[str, tuple[tuple[str, ...], object]] = {
         # type conversion / assertion
@@ -738,6 +799,37 @@ def _registry():
         "unique": (("value",), _simple(S.unique, "array", "value")),
         "flatten": (("value",), _simple(S.flatten_, "array", "value")),
         "merge": (("to", "from"), _fn_merge),
+        # wider parser family — dict-returning builders → object values
+        "parse_syslog": (("value",), _dict_parser(PF.parse_syslog)),
+        "parse_apache_log": (("value", "format"), _dict_parser(parse_apache)),
+        "parse_common_log": (("value",), _dict_parser(PF.parse_apache_log)),
+        "parse_glog": (("value",), _dict_parser(PF.parse_glog)),
+        "parse_aws_alb_log": (("value",), _dict_parser(PF.parse_aws_alb_log)),
+        "parse_aws_vpc_flow_log": (("value",), _dict_parser(PF.parse_aws_vpc_flow_log)),
+        "parse_user_agent": (("value",), _dict_parser(PF.parse_user_agent)),
+        "parse_linux_authorization": (("value",), _dict_parser(PF.parse_linux_authorization)),
+        "parse_url": (("value",), _simple(PF.parse_url, "object", "value",
+                                          fallible=True, detail="unable to parse url")),
+        "parse_query_string": (("value",), _simple(PF.parse_query_string, "object", "value")),
+        "parse_logfmt": (("value",), _simple(PF.parse_logfmt, "object", "value")),
+        "parse_tokens": (("value",), _simple(PF.parse_tokens, "array", "value")),
+        "parse_int": (("value", "base"), _simple(PF.parse_int, "int", "value", "base",
+                                                 fallible=True, detail="unable to parse int")),
+        "parse_duration": (("value", "unit"), _simple(
+            PF.parse_duration, "float", "value", "unit",
+            fallible=True, detail="unable to parse duration")),
+        "parse_csv": (("value", "schema", "delimiter"), _simple(
+            PF.parse_csv, "object", "value", "schema", "delimiter")),
+        "redact": (("value", "patterns", "text"), _fn_redact),
+        "log": (("value", "level"), _fn_log),
+        # ip family
+        "ip_aton": (("value",), _simple(IP.ip_aton, "int", "value",
+                                        fallible=True, detail="unable to parse IP address")),
+        "ip_ntoa": (("value",), _simple(IP.ip_ntoa, "string", "value")),
+        "ip_subnet": (("value", "subnet"), _simple(IP.ip_subnet, "string", "value", "subnet")),
+        "ip_to_ipv6": (("value",), _simple(IP.ip_to_ipv6, "string", "value")),
+        "ipv6_to_ipv4": (("value",), _simple(IP.ipv6_to_ipv4, "string", "value",
+                                             fallible=True, detail="not a mapped ipv4")),
         # misc
         "assert": (("condition", "message"), _fn_assert),
         "ip_cidr_contains": (("cidr", "value"), _fn_ip_cidr_contains),
@@ -803,13 +895,13 @@ class _Compiler:
                 else:
                     return _null()
                 continue
-            # string segment
+            # string segment; getItem resolves struct fields AND map keys
             if node.fields is not None:
                 if s not in node.fields:
                     return _null()
                 node = node.fields[s]
             elif node.vtype == "object" and node.col is not None:
-                return V(F.element_at(node.col, F.lit(s)), "any")
+                return V(node.col.getItem(s), "any")
             else:
                 return _null()
         if isinstance(node, dict):  # bare "." — whole event
@@ -903,7 +995,8 @@ class _Compiler:
                 if node.fields is not None:
                     node = node.fields.get(s, _null())
                 elif node.vtype == "object" and node.col is not None:
-                    node = V(F.element_at(node.col, F.lit(s)), "any", err=node.err)
+                    # getItem resolves struct fields AND map keys
+                    node = V(node.col.getItem(s), "any", err=node.err)
                 else:
                     node = V(F.lit(None), "any", err=node.err)
         return node
