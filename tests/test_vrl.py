@@ -300,3 +300,193 @@ def test_wide_stdlib_registry(spark):
     assert "4242" not in r.red and "[REDACTED]" in r.red
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------- round-5 stdlib tail
+def test_type_predicates_static_and_variant(spark):
+    out = _run(
+        spark,
+        '.s = is_string(.msg)\n'
+        '.i = is_integer(.n)\n'
+        '.f = is_float(.n)\n'
+        '.nn = is_null(.gone)\n'
+        'obj = parse_json!(.j)\n'
+        '.vs = is_string(obj.a)\n'
+        '.vi = is_integer(obj.b)\n'
+        '.vb = is_boolean(obj.c)\n'
+        '.va = is_array(obj.d)',
+        [{"msg": "x", "n": 3, "j": '{"a": "s", "b": 7, "c": true, "d": [1]}'}])
+    r = out.collect()[0]
+    assert (r.s, r.i, r.f, r.nn) == (True, True, False, True)
+    assert (r.vs, r.vi, r.vb, r.va) == (True, True, True, True)
+
+
+def test_to_regex_and_dynamic_match(spark):
+    out = _run(
+        spark,
+        'rx = to_regex!(.pat)\n.hit = match(.msg, rx)\n.isrx = is_regex(rx)',
+        [{"pat": "^err", "msg": "error: boom"},
+         {"pat": "^ok", "msg": "error: boom"}])
+    rows = {r.pat: (r.hit, r.isrx) for r in out.collect()}
+    assert rows == {"^err": (True, True), "^ok": (False, True)}
+
+
+def test_assert_eq_error_channel(spark):
+    out = _run(spark, 'ok, err = assert_eq(.a, .b, message: "nope")\n.e = err',
+               [{"a": 1, "b": 1}, {"a": 1, "b": 2}])
+    got = {(r.a, r.b): r.e for r in out.collect()}
+    assert got[(1, 1)] is None and "nope" in got[(1, 2)]
+
+
+def test_get_set_remove_paths(spark):
+    out = _run(
+        spark,
+        'obj = {"a": {"b": 7}, "keep": "y"}\n'
+        '.got = get!(obj, ["a", "b"])\n'
+        'obj2 = set!(obj, ["a", "c"], 9)\n'
+        '.setv = get!(obj2, ["a", "c"])\n'
+        'obj3 = remove!(obj2, ["keep"])\n'
+        '.dropped = encode_json(obj3)',
+        [{"x": 1}])
+    r = out.collect()[0]
+    assert r.got == 7 and r.setv == 9
+    assert "keep" not in r.dropped and '"c":9' in r.dropped
+
+
+def test_only_fields_keeps_named_root_fields(spark):
+    out = _run(spark, 'only_fields(["a", "c"])', [{"a": 1, "b": 2, "c": 3}])
+    assert sorted(out.columns) == ["a", "c"]
+
+
+def test_match_any_and_match_array(spark):
+    out = _run(
+        spark,
+        '.any = match_any(.msg, [r\'^foo\', r\'bar$\'])\n'
+        '.one = match_array(.tags, r\'^prod\')\n'
+        '.all = match_array(.tags, r\'^prod\', all: true)',
+        [{"msg": "xbar", "tags": ["prod-a", "prod-b"]},
+         {"msg": "none", "tags": ["prod-a", "dev-b"]}])
+    rows = {r.msg: (r.any, r.one, r.all) for r in out.collect()}
+    assert rows["xbar"] == (True, True, True)
+    assert rows["none"] == (False, True, False)
+
+
+def test_match_datadog_query_reads_current_event(spark):
+    out = _run(
+        spark,
+        '.status = upcase(.status)\n'
+        '.hit = match_datadog_query(., "status:ERROR AND @http.code:>400")',
+        [{"status": "error", "http": {"code": 500}},
+         {"status": "error", "http": {"code": 200}},
+         {"status": "ok", "http": {"code": 500}}])
+    got = [(r.status, r.http["code"], r.hit) for r in out.collect()]
+    assert sorted(got) == [("ERROR", 200, False), ("ERROR", 500, True),
+                           ("OK", 500, False)]
+
+
+def test_encode_logfmt_and_key_value(spark):
+    out = _run(
+        spark,
+        'obj = {"lvl": .lvl, "n": .n}\n'
+        '.lf = encode_logfmt(obj)\n'
+        '.kv = encode_key_value(obj, field_delimiter: "|", '
+        'key_value_delimiter: ":")',
+        [{"lvl": "info", "n": 3}])
+    r = out.collect()[0]
+    assert r.lf == "lvl=info n=3" and r.kv == "lvl:info|n:3"
+
+
+def test_percent_codecs_roundtrip(spark):
+    out = _run(spark, '.enc = encode_percent(.s)\n.dec = decode_percent(.enc)',
+               [{"s": "a b&c"}])
+    r = out.collect()[0]
+    assert r.enc == "a%20b%26c" and r.dec == "a b&c"
+
+
+def test_tally_counts_array_values(spark):
+    out = _run(spark, '.t = tally(.arr)', [{"arr": ["a", "b", "a"]}])
+    assert out.collect()[0].t == {"a": 2, "b": 1}
+
+
+def test_parse_klog_and_nginx(spark):
+    out = _run(
+        spark,
+        '.k = parse_klog!(.klog).level\n'
+        '.n = parse_nginx_log!(.ng, format: "combined").status',
+        [{"klog": "I0505 17:59:40.692994   28133 klog.go:70] hello",
+          "ng": '172.17.0.1 alice - [01/Apr/2021:12:02:31 +0000] '
+                '"POST /not-found HTTP/1.1" 404 153 "http://x/" "curl/7.68.0"'}])
+    r = out.collect()[0]
+    assert r.k == "info" and str(r.n) == "404"
+
+
+def test_parse_regex_all_and_ruby_hash_and_xml(spark):
+    out = _run(
+        spark,
+        '.nums = parse_regex_all(.s, r\'\\d+\')\n'
+        '.rb = parse_ruby_hash!(.ruby, schema: "hello string, n int").hello\n'
+        '.x = parse_xml!(.xml, schema: "v int").v',
+        [{"s": "a1 b22 c333",
+          "ruby": '{ "hello" => "world", "n" => 2 }',
+          "xml": "<root><v>7</v></root>"}])
+    r = out.collect()[0]
+    assert r.nums == ["1", "22", "333"]
+    assert r.rb == "world" and r.x == 7
+
+
+def test_parse_cloudwatch_subscription_message(spark):
+    msg = ('{"messageType": "DATA_MESSAGE", "owner": "111", '
+           '"logGroup": "g", "logStream": "s", "subscriptionFilters": ["f"], '
+           '"logEvents": [{"id": "1", "timestamp": 1600000000000, '
+           '"message": "hello"}, {"id": "2", "timestamp": 1600000000001, '
+           '"message": "world"}]}')
+    out = _run(spark,
+               'parsed = parse_aws_cloudwatch_log_subscription_message!(.m)\n'
+               '.group = parsed.logGroup\n.events = parsed.logEvents\n'
+               'del(.m)\n. = unnest(.events)',
+               [{"m": msg}], drop_on_error=True)
+    rows = out.collect()
+    assert [r.events.message for r in rows] == ["hello", "world"]
+    assert all(r.group == "g" for r in rows)
+
+
+def test_unnest_explodes_event_per_element(spark):
+    out = _run(spark, '. = unnest(.events)',
+               [{"host": "h1", "events": [{"m": "a"}, {"m": "b"}]},
+                {"host": "h2", "events": []}])
+    rows = out.collect()
+    assert [(r.host, r.events["m"]) for r in rows] == [("h1", "a"), ("h1", "b")]
+
+
+def test_full_stdlib_identifier_coverage():
+    """Every identifier of the reference stdlib
+    (/root/reference/lib/vrl/stdlib/src/lib.rs — 119 Box::new entries)
+    resolves in the VRL front-end (registry or compiler special form)."""
+    import re as re_
+    from pathlib import Path as Path_
+
+    from vector_spark.vrl.compiler import registry
+
+    lib = Path_("/root/reference/lib/vrl/stdlib/src/lib.rs")
+    if not lib.exists():
+        pytest.skip("reference checkout not available")
+    src = lib.read_text()
+    idents = set()
+    for m in re_.finditer(r"Box::new\((\w+)\)", src):
+        rs = re_.sub(r"(?<!^)(?=[A-Z0-9])", "_", m.group(1)).lower()
+        rs = re_.sub(r"_+", "_", rs)
+        idents.add(rs)
+    # snake_case of the Rust struct != the VRL identifier for these
+    fixups = {
+        "md_5": "md5", "sha_1": "sha1", "sha_2": "sha2", "sha_3": "sha3",
+        "uuid_v_4": "uuid_v4", "boolean": "bool", "integer": "int",
+        "decode_base_6_4": "decode_base64", "encode_base_6_4": "encode_base64",
+        "ip_to_ipv_6": "ip_to_ipv6", "ipv_6_to_ip_v_4": "ipv6_to_ipv4",
+        "parse_log_fmt": "parse_logfmt",
+        "parse_aws_cloud_watch_log_subscription_message":
+            "parse_aws_cloudwatch_log_subscription_message",
+    }
+    idents = {fixups.get(i, i) for i in idents}
+    wired = set(registry()) | {"exists", "del", "unnest"}
+    missing = sorted(idents - wired)
+    assert not missing, f"stdlib identifiers not wired: {missing}"

@@ -69,8 +69,12 @@ def _tokenize(q: str) -> list[_Tok]:
 
 
 class _Parser:
-    def __init__(self, toks: list[_Tok]):
+    def __init__(self, toks: list[_Tok], resolve=None):
         self.toks, self.i = toks, 0
+        # field-name → Column hook; defaults to the event's real columns.
+        # match_datadog_query() passes one bound to the VRL environment so
+        # the query reads the event's CURRENT state, not the input columns.
+        self.resolve = resolve if resolve is not None else F.col
 
     def peek(self) -> _Tok | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -114,7 +118,7 @@ class _Parser:
     def primary(self) -> Column:
         t = self.next()
         if t.kind == "quoted":
-            return _contains(F.col(DEFAULT_FIELD), _unquote(t.text))
+            return _contains(self.resolve(DEFAULT_FIELD), _unquote(t.text))
         if t.kind != "term":
             raise ValueError(f"datadog query: unexpected token {t.text!r}")
         word = t.text
@@ -122,14 +126,14 @@ class _Parser:
         if not (nxt and nxt.kind == "colon"):
             if word == "*":
                 return F.lit(True)
-            return _contains(F.col(DEFAULT_FIELD), word)
+            return _contains(self.resolve(DEFAULT_FIELD), word)
         self.next()  # consume ':'
         attr = word.lstrip("@")
         if word == "_exists_":
-            return F.col(self.next().text.lstrip("@")).isNotNull()
+            return self.resolve(self.next().text.lstrip("@")).isNotNull()
         if word == "_missing_":
-            return F.col(self.next().text.lstrip("@")).isNull()
-        return self.value_clause(F.col(attr))
+            return self.resolve(self.next().text.lstrip("@")).isNull()
+        return self.value_clause(self.resolve(attr))
 
     def value_clause(self, col: Column) -> Column:
         t = self.next()
@@ -183,12 +187,14 @@ def _contains(col: Column, needle: str) -> Column:
     return F.coalesce(col.contains(needle), F.lit(False))
 
 
-def datadog_search(query: str) -> Column:
-    """Compile a Datadog search query to a boolean Column."""
+def datadog_search(query: str, resolve=None) -> Column:
+    """Compile a Datadog search query to a boolean Column. `resolve`
+    maps a field name to a Column (default: the DataFrame column of
+    that name)."""
     toks = _tokenize(query)
     if not toks:
         return F.lit(True)
-    p = _Parser(toks)
+    p = _Parser(toks, resolve)
     out = p.expr()
     if p.peek() is not None:
         raise ValueError(f"datadog query: trailing input at {p.peek().text!r}")

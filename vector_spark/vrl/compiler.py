@@ -465,9 +465,18 @@ def _fn_merge(c, args, call):
 
 
 def _fn_match(c, args, call):
-    pattern = _need_const(args, "pattern", call)
     v = args["value"]
-    return V(_mat(v).rlike(pattern), "bool", err=v.err)
+    p = args["pattern"]
+    if p.has_const:
+        return V(_mat(v).rlike(p.const), "bool", err=_combine_err(v.err, p.err))
+    if p.vtype == "regex":  # runtime regex VALUE (a to_regex product)
+        from vector_spark.functions.types import regex_match
+
+        return V(regex_match(_mat(v), _mat(p)), "bool",
+                 err=_combine_err(v.err, p.err))
+    raise VrlCompileError(
+        'argument "pattern" of match() must be a regex literal or a '
+        "to_regex() value")
 
 
 def _fn_replace(c, args, call):
@@ -716,6 +725,288 @@ def _fn_log(c, args, call):
     return _null()
 
 
+# ---- round-5 tail: the remaining stdlib identifiers, so the VRL text
+# front-end covers all 119 functions of /root/reference/lib/vrl/stdlib.
+
+_KIND_FOR_VTYPE = {"string": "string", "int": "integer", "float": "float",
+                   "bool": "boolean", "array": "array", "object": "object",
+                   "timestamp": "timestamp", "regex": "regex", "null": "null"}
+
+
+def _is_type_pred(kind: str):
+    """is_string/is_integer/... — VRL runtime kind checks. Typed columns
+    resolve at compile time; opaque 'any' values (variant-encoded JSON
+    scalars) fall back to functions.types.typeof_value."""
+
+    def build(c, args, call):
+        from vector_spark.functions import types as TY
+
+        v = args["value"]
+        if v.vtype == "any":
+            col = _mat(v)
+            if kind == "regex":
+                return V(TY.is_regex(col), "bool", err=v.err)
+            if kind == "timestamp":  # the variant encoding has no timestamp kind
+                return V(F.lit(False), "bool", err=v.err)
+            if kind == "string":
+                # schema-free parse_json members ride the stringly
+                # map<string,string> encoding where string values lose
+                # their quotes — bare text ('invalid' to typeof_value)
+                # IS a string there. Documented knife-edge: a JSON
+                # string that LOOKS numeric ('"7"') reads as integer.
+                return V(TY.typeof_value(col).isin("string", "invalid"),
+                         "bool", err=v.err)
+            return V(TY.typeof_value(col) == kind, "bool", err=v.err)
+        if kind == "null":
+            if v.fields is not None or v.items is not None:
+                return V(F.lit(False), "bool", err=v.err)
+            return V(_mat(v).isNull(), "bool", err=v.err)
+        if _KIND_FOR_VTYPE.get(v.vtype) == kind:
+            if v.fields is not None or v.items is not None:
+                return V(F.lit(True), "bool", err=v.err)
+            return V(_mat(v).isNotNull(), "bool", err=v.err)
+        return V(F.lit(False), "bool", err=v.err)
+
+    return build
+
+
+def _fn_to_regex(c, args, call):
+    from vector_spark.functions import types as TY
+
+    v = args["value"]
+    if v.has_const and isinstance(v.const, str):  # fold literal patterns
+        try:
+            _re.compile(v.const)
+        except _re.error:
+            return V(F.lit(None).cast(TY.REGEX_STRUCT_DDL), "regex",
+                     err=_call_err(call, "invalid regex"))
+        return V(F.struct(F.lit(v.const).alias("regex")), "regex",
+                 const=v.const, has_const=True)
+    col = TY.to_regex(_mat(v))
+    err = F.when(col["regex"].isNull() & _mat(v).isNotNull(),
+                 _call_err(call, "invalid regex"))
+    return V(col, "regex", err=_combine_err(v.err, err))
+
+
+def _fn_assert_eq(c, args, call):
+    left, right = args["left"], args["right"]
+    msg = args.get("message")
+    detail = str(msg.const) if (msg is not None and msg.has_const) else "assertion failed"
+    err = F.when(~_mat(left).eqNullSafe(_mat(right)), _call_err(call, detail))
+    return V(F.lit(True), "bool", err=_combine_err(left.err, right.err, err))
+
+
+def _const_path(args: dict, call: P.Call, name: str = "path") -> tuple:
+    p = args.get(name)
+    if p is None or p.items is None:
+        raise VrlCompileError(f"{call.name}() needs a literal path array")
+    segs = []
+    for i in sorted(p.items):
+        it = p.items[i]
+        if not it.has_const:
+            raise VrlCompileError(
+                f"{call.name}() path segments must be literals in the "
+                f"compile-to-Column model")
+        segs.append(it.const)
+    return tuple(segs)
+
+
+def _walk_v(v: V, segs: tuple) -> V:
+    """Descend a compiled value by path segments — the value-space twin
+    of _Compiler._get_path (get.rs / the dynamic-path family)."""
+    node = v
+    for s in segs:
+        if isinstance(s, int):
+            if node.items is not None:
+                node = node.items.get(s) or _null()
+            elif node.vtype in ("array", "any") and node.col is not None:
+                node = V(F.get(node.col, s), "any")
+            else:
+                return _null()
+            continue
+        if node.fields is not None:
+            node = node.fields.get(s) or _null()
+        elif node.vtype in ("object", "any") and node.col is not None:
+            node = V(node.col.getItem(s), "any")
+        else:
+            return _null()
+    return node
+
+
+def _fn_get(c, args, call):
+    v = args["value"]
+    out = _walk_v(v, _const_path(args, call))
+    return V(out.col, out.vtype, err=_combine_err(v.err, out.err),
+             fields=out.fields, items=out.items,
+             const=out.const, has_const=out.has_const)
+
+
+def _set_in(v: V, segs: tuple, value: V, call: P.Call) -> V:
+    s = segs[0]
+    if isinstance(s, int):
+        if v.items is None and v.col is not None:
+            raise VrlCompileError(
+                "set() into an opaque array needs known elements in the "
+                "compile-to-Column model")
+        items = dict(v.items or {})
+        if len(segs) == 1:
+            items[s] = value
+        else:
+            child = items.get(s)
+            if child is None or (child.fields is None and child.items is None):
+                kind = "array" if isinstance(segs[1], int) else "object"
+                child = V(None, kind, fields={} if kind == "object" else None,
+                          items={} if kind == "array" else None)
+            items[s] = _set_in(child, segs[1:], value, call)
+        return V(None, "array", items=items, err=v.err)
+    if v.fields is None and v.col is not None and v.vtype == "object":
+        raise VrlCompileError(
+            "set() into an opaque object needs known fields in the "
+            "compile-to-Column model (parse with a schema first)")
+    fields = dict(v.fields or {})
+    if len(segs) == 1:
+        fields[s] = value
+    else:
+        child = fields.get(s)
+        if child is None or (child.fields is None and child.items is None):
+            kind = "array" if isinstance(segs[1], int) else "object"
+            child = V(None, kind, fields={} if kind == "object" else None,
+                      items={} if kind == "array" else None)
+        fields[s] = _set_in(child, segs[1:], value, call)
+    return V(None, "object", fields=fields, err=v.err)
+
+
+def _fn_set(c, args, call):
+    return _set_in(args["value"], _const_path(args, call),
+                   args["data"], call)
+
+
+def _fn_remove(c, args, call):
+    v = args["value"]
+    segs = _const_path(args, call)
+    *parent_segs, last = segs
+    if not parent_segs and v.fields is None and v.col is not None \
+            and v.vtype in ("object", "any") and isinstance(last, str):
+        # opaque map: drop the key as an expression
+        out = F.map_filter(v.col, lambda k, _: k != F.lit(last))
+        return V(out, "object", err=v.err)
+    parent = _walk_v(v, tuple(parent_segs)) if parent_segs else v
+    if isinstance(last, str):
+        if parent.fields is None:
+            raise VrlCompileError(
+                "remove() needs an object with known fields at the path")
+        fields = {k: f for k, f in parent.fields.items() if k != last}
+        pruned = V(None, "object", fields=fields, err=v.err)
+    else:
+        if parent.items is None:
+            raise VrlCompileError(
+                "remove() needs an array with known items at the path")
+        items = {i: it for i, it in parent.items.items() if i != last}
+        pruned = V(None, "array", items=items, err=v.err)
+    if not parent_segs:
+        return pruned
+    return _set_in(v, tuple(parent_segs), pruned, call)
+
+
+def _fn_only_fields(c, args, call):
+    """only_fields (only_fields.rs): keep only the named top-level event
+    fields — a side effect on the program's root environment."""
+    keep = set()
+    p = args.get("paths")
+    if p is None or p.items is None:
+        raise VrlCompileError("only_fields() needs a literal array of field names")
+    for i in sorted(p.items):
+        it = p.items[i]
+        if not it.has_const or not isinstance(it.const, str):
+            raise VrlCompileError("only_fields() field names must be string literals")
+        keep.add(it.const)
+    for name in list(c.root):
+        if name not in keep:
+            c.root.pop(name)
+            c.deleted.add(name)
+    return V(F.lit(True), "bool")
+
+
+def _fn_match_any(c, args, call):
+    v = args["value"]
+    pats = args.get("patterns")
+    if pats is None or pats.items is None:
+        raise VrlCompileError("match_any() needs a literal patterns array")
+    col = _mat(v)
+    out = F.lit(False)
+    for i in sorted(pats.items):
+        it = pats.items[i]
+        if not it.has_const:
+            raise VrlCompileError("match_any() patterns must be regex literals")
+        out = out | col.rlike(it.const)
+    return V(out, "bool", err=v.err)
+
+
+def _fn_match_array(c, args, call):
+    v = args["value"]
+    pattern = _need_const(args, "pattern", call)
+    want_all = args.get("all")
+    all_const = bool(want_all.const) if (want_all is not None and want_all.has_const) else False
+    col = _mat(v)
+    if all_const:
+        out = F.forall(col, lambda x: x.cast("string").rlike(pattern))
+    else:
+        out = F.exists(col, lambda x: x.cast("string").rlike(pattern))
+    return V(out, "bool", err=v.err)
+
+
+def _fn_match_datadog_query(c, args, call):
+    from vector_spark.functions.datadog_search import datadog_search
+
+    v = args["value"]
+    query = _need_const(args, "query", call)
+    if v.fields is None:
+        raise VrlCompileError(
+            "match_datadog_query() needs an object value (pass the event: `.`)")
+
+    def resolve(name: str) -> Column:
+        return _mat(_walk_v(v, tuple(name.split("."))))
+
+    return V(datadog_search(query, resolve), "bool", err=v.err)
+
+
+def _fn_encode_kv(delimited: bool):
+    def build(c, args, call):
+        from vector_spark.functions import strings as S
+
+        v = args["value"]
+        if v.fields is None:
+            raise VrlCompileError(
+                f"{call.name}() needs an object with known fields in the "
+                f"compile-to-Column model")
+        cols = {k: _mat(f) for k, f in v.fields.items()}
+        if delimited:
+            fd = _need_const(args, "field_delimiter", call) or " "
+            kvd = _need_const(args, "key_value_delimiter", call) or "="
+            return V(S.encode_key_value(cols, fd, kvd), "string", err=v.err)
+        return V(S.encode_logfmt(cols), "string", err=v.err)
+
+    return build
+
+
+def _fn_parse_nginx_log(c, args, call):
+    from vector_spark.functions import parse as PF
+
+    fmt = _need_const(args, "format", call) or "combined"
+    fn = {"combined": PF.parse_nginx_combined_log,
+          "error": PF.parse_nginx_error_log}.get(fmt)
+    if fn is None:
+        raise VrlCompileError(f'parse_nginx_log() format must be "combined" or "error", got {fmt!r}')
+    return _dict_parser(fn)(c, args, call)
+
+
+def _fn_tally(c, args, call):
+    from vector_spark.functions.strings import tally
+
+    v = args["value"]
+    return V(tally(_mat(v)), "object", err=v.err)
+
+
 def _registry():
     from vector_spark.functions import ip as IP
     from vector_spark.functions import parse as PF
@@ -839,6 +1130,45 @@ def _registry():
             ("table", "condition", "select", "case_sensitive"), _fn_get_enrichment_record),
         "find_enrichment_table_records": (
             ("table", "condition", "select", "case_sensitive"), _fn_find_enrichment_records),
+        # round-5 tail — the remaining stdlib identifiers
+        "assert_eq": (("left", "right", "message"), _fn_assert_eq),
+        "is_string": (("value",), _is_type_pred("string")),
+        "is_integer": (("value",), _is_type_pred("integer")),
+        "is_float": (("value",), _is_type_pred("float")),
+        "is_boolean": (("value",), _is_type_pred("boolean")),
+        "is_array": (("value",), _is_type_pred("array")),
+        "is_object": (("value",), _is_type_pred("object")),
+        "is_null": (("value",), _is_type_pred("null")),
+        "is_timestamp": (("value",), _is_type_pred("timestamp")),
+        "is_regex": (("value",), _is_type_pred("regex")),
+        "to_regex": (("value",), _fn_to_regex),
+        "get": (("value", "path"), _fn_get),
+        "set": (("value", "path", "data"), _fn_set),
+        "remove": (("value", "path", "compact"), _fn_remove),
+        "only_fields": (("paths",), _fn_only_fields),
+        "match_any": (("value", "patterns"), _fn_match_any),
+        "match_array": (("value", "pattern", "all"), _fn_match_array),
+        "match_datadog_query": (("value", "query"), _fn_match_datadog_query),
+        "encode_logfmt": (("value",), _fn_encode_kv(False)),
+        "encode_key_value": (
+            ("value", "field_delimiter", "key_value_delimiter"), _fn_encode_kv(True)),
+        "encode_percent": (("value", "ascii_set"), _simple(
+            S.encode_percent, "string", "value", "ascii_set")),
+        "decode_percent": (("value",), _simple(S.decode_percent, "string", "value")),
+        "tally": (("value",), _fn_tally),
+        "parse_klog": (("value",), _dict_parser(PF.parse_klog)),
+        "parse_nginx_log": (("value", "format"), _fn_parse_nginx_log),
+        "parse_regex_all": (("value", "pattern", "group"), _simple(
+            PF.parse_regex_all, "array", "value", "pattern", "group")),
+        "parse_ruby_hash": (("value", "schema"), _simple(
+            PF.parse_ruby_hash, "object", "value", "schema",
+            fallible=True, detail="unable to parse ruby hash")),
+        "parse_xml": (("value", "schema"), _simple(
+            PF.parse_xml, "object", "value", "schema",
+            fallible=True, detail="unable to parse xml")),
+        "parse_aws_cloudwatch_log_subscription_message": (("value",), _simple(
+            PF.parse_cloudwatch_subscription, "object", "value",
+            fallible=True, detail="unable to parse cloudwatch message")),
     }
     return r
 
@@ -867,6 +1197,7 @@ class _Compiler:
         self.can_fail = False
         self.can_abort = False
         self.emit_array: V | None = None
+        self.unnest_field: str | None = None
         self.deleted: set[str] = set()
 
     def _leaf(self, col: Column, dt: T.DataType) -> V:
@@ -1121,6 +1452,8 @@ class _Compiler:
             return self._exists(call)
         if name == "del":
             return self._del(call)
+        if name == "unnest":
+            return self._unnest(call)
         reg = registry()
         if name not in reg:
             raise VrlCompileError(
@@ -1151,6 +1484,23 @@ class _Compiler:
         if v.fields is not None or v.items is not None:
             return V(F.lit(True), "bool")
         return V(_mat(v).isNotNull(), "bool")
+
+    def _unnest(self, call: P.Call) -> V:
+        """unnest (unnest.rs): `. = unnest(.events)` — one output event
+        per array element, the path replaced by the element. Compiles to
+        ONE explode() on the output frame (the aws_cloudwatch fan-out
+        shape), so the emission stays a single declarative plan node."""
+        if len(call.args) != 1 or not isinstance(call.args[0][1], P.Path):
+            raise VrlCompileError("unnest() takes a single path query")
+        segs = call.args[0][1].segments
+        if len(segs) != 1 or not isinstance(segs[0], str):
+            raise VrlCompileError(
+                "unnest() supports a single top-level field in the "
+                "compile-to-Column model")
+        v = self._get_path(segs)
+        if v.vtype not in ("array", "any") and v.items is None:
+            raise VrlCompileError("unnest() target must be an array")
+        return V(None, "unnest!", const=segs[0], has_const=True)
 
     def _del(self, call: P.Call) -> V:
         if len(call.args) != 1 or not isinstance(call.args[0][1], P.Path):
@@ -1239,6 +1589,9 @@ class _Compiler:
     def _assign_root(self, value: V, cond: Column | None):
         if cond is not None:
             raise VrlCompileError("conditional root assignment is not supported")
+        if value.vtype == "unnest!":  # `. = unnest(.field)` — explode
+            self.unnest_field = value.const
+            return
         if value.items is not None:  # `. = [ev, ev, ...]` — multi-emit
             self.emit_array = value
             return
@@ -1345,6 +1698,24 @@ class CompiledProgram:
             cols.append(new.alias(name))
 
         out = df.select(*cols)
+        if c.unnest_field is not None:
+            # a failed event would roll back to the un-exploded array
+            # shape — type-impossible in one column — so fallible
+            # programs may unnest only when their failed rows are dropped
+            if (c.can_fail and not self.drop_on_error) or (
+                    c.can_abort and not self.drop_on_abort):
+                raise VrlCompileError(
+                    "unnest in a fallible program requires "
+                    "drop_on_error/drop_on_abort")
+            if fallible:
+                keep = F.lit(True)
+                if self.drop_on_error:
+                    keep = keep & ~F.coalesce(c.err_flag, F.lit(False))
+                if self.drop_on_abort:
+                    keep = keep & ~F.coalesce(c.abort_flag, F.lit(False))
+                out = df.select(*cols, keep.alias("__vrl_keep")).filter(
+                    F.col("__vrl_keep")).drop("__vrl_keep")
+            return out.withColumn(c.unnest_field, F.explode(_qcol(c.unnest_field)))
         if fallible:
             keep = F.lit(True)
             if self.drop_on_error:

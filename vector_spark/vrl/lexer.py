@@ -36,9 +36,6 @@ _OPS = [
     "(", ")", "[", "]", "{", "}", ",", ":", ";", "!", "|",
 ]
 
-_KEYWORDS = {"if", "else", "true", "false", "null", "abort", "return"}
-
-
 def _read_string(src: str, i: int) -> tuple[str, int]:
     """Read a double-quoted string with escapes, returning (value, next_i).
     `i` points at the opening quote."""
