@@ -3745,6 +3745,48 @@ def q_vrl_compile(spark, sf):
     )
 
 
+# The round-5 stdlib tail as VRL source: kind predicates, match_any,
+# folded to_regex + dynamic match(), object encoders, percent codec,
+# get() path walk, match_datadog_query, only_fields — one program, one
+# declarative select, DuckDB-oracled.
+_VRL_TAIL_PROGRAM = """
+.is_click = is_string(.event_type) && match_any(.event_type, [r'^click', r'^purchase'])
+.uid_odd = is_integer(.user_id) && .user_id % 2 == 1
+obj = {"et": .event_type, "uid": .user_id}
+.lf = encode_logfmt(obj)
+.kv = encode_key_value(obj, field_delimiter: "|", key_value_delimiter: ":")
+.enc = encode_percent(.event_type + " x")
+rx = to_regex!("^s")
+.srx = match(.event_type, rx)
+.dd = match_datadog_query(., "event_type:click* AND @value:>50")
+.leaf = get!({"a": {"b": .event_type}}, ["a", "b"])
+only_fields(["event_id", "is_click", "uid_odd", "lf", "kv", "enc", "srx", "dd", "leaf"])
+"""
+
+
+@_q(
+    "vrl_stdlib_tail",
+    """
+    SELECT event_id,
+           coalesce(regexp_matches(event_type, '^click')
+                    OR regexp_matches(event_type, '^purchase'), false) AS is_click,
+           coalesce(user_id IS NOT NULL AND (user_id % 2) = 1, false) AS uid_odd,
+           'et=' || event_type || ' uid=' || CAST(user_id AS VARCHAR) AS lf,
+           'et:' || event_type || '|uid:' || CAST(user_id AS VARCHAR) AS kv,
+           replace(event_type || ' x', ' ', '%20') AS enc,
+           regexp_matches(event_type, '^s') AS srx,
+           coalesce(event_type LIKE 'click%' AND value > 50.0, false) AS dd,
+           event_type AS leaf
+    FROM events
+    """,
+)
+def q_vrl_stdlib_tail(spark, sf):
+    from vector_spark.vrl import compile_program
+
+    ev = _t(spark, sf, "events")
+    return compile_program(_VRL_TAIL_PROGRAM).apply(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
