@@ -511,7 +511,7 @@ def q_field_shaping(spark, sf):
       SELECT doc_id, chr(27) || '[31m' || lang || chr(27) || '[0m' AS line
       FROM documents)
     SELECT doc_id,
-           regexp_replace(line, '\x1b\[[0-9;]*[A-Za-z]', '', 'g') AS clean
+           regexp_replace(line, '\x1b\[[0-9;]*[A-Za-z]|[\x00-\x09\x0b-\x1f\x7f]', '', 'g') AS clean
     FROM colored
     """,
 )

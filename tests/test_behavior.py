@@ -1,12 +1,19 @@
 """Behavior-test suite: the `vector test` analogue.
 
-Each tests/behavior/*.toml mirrors the same-named reference file from
-/root/reference/tests/behavior/transforms/ (22 of 22 mirrored; the
-lua files run through the `lua` escape-hatch transform in its Python
-hook dialect — timer/scheduled hooks are the one unexpressible
-remainder, covered by applyInPandasWithState in test_streaming.py).
-Conditions are SQL predicates; nested field paths flatten to
-underscore columns per SURVEY §1.3.
+Each tests/behavior/*.toml covers the same-named reference file from
+/root/reference/tests/behavior/transforms/ (22 of 22). As of round 5,
+14 of the 22 are VERBATIM copies of the reference fixtures — original
+configs, VRL / check_fields conditions, nested field paths, and inputs
+(filter, route, regex_parser, split, tokenizer, grok_parser,
+ansi_stripper, coercer, concat, remove_fields, rename_fields, compound,
+logfmt_parser, plus remap whose only tweaks are local fixture paths).
+The remaining 8 are documented mirrors: add_fields (heterogeneous
+array literals), dedupe/merge/reduce/json_parser (per-row heterogeneous
+shapes that one Spark column type cannot hold), key_value_parser
+(dynamic keys inserted at the event root — static-schema divergence,
+the typed/target_field form is covered), and lua_v1/lua_v2 (Python
+hook dialect; timer hooks covered by applyInPandasWithState in
+test_streaming.py).
 """
 
 from __future__ import annotations

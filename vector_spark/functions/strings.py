@@ -49,8 +49,14 @@ def strip_whitespace(col: Column) -> Column:
 
 def strip_ansi_escape_codes(col: Column) -> Column:
     """VRL strip_ansi_escape_codes / the ansi_stripper transform
-    (/root/reference/src/transforms/ansi_stripper.rs:12-56)."""
-    return F.regexp_replace(col, ANSI_ESCAPE_RX, "")
+    (/root/reference/src/transforms/ansi_stripper.rs:12-56). The
+    reference delegates to the vte-based strip_ansi_escapes crate, whose
+    terminal emulation also swallows C0 control bytes (everything
+    reaching `execute` except linefeed) — so \\r, \\t etc. are stripped
+    too, which the ansi_stripper behavior test depends on."""
+    return F.regexp_replace(
+        F.regexp_replace(col, ANSI_ESCAPE_RX, ""),
+        r"[\x00-\x09\x0b-\x1f\x7f]", "")
 
 
 def redact(col: Column, patterns: list[str], text: str = "[REDACTED]") -> Column:

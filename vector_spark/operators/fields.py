@@ -18,25 +18,114 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from vector_spark.operators.base import Transform
 from vector_spark.functions.strings import strip_ansi_escape_codes
 
 
+# ---- nested-path projection machinery ---------------------------------
+# The reference's field transforms address fields by lookup PATH
+# ("a.b" nests — event/lookup.rs); Spark's analogue is rebuilding the
+# enclosing struct column. All four path transforms below compile to ONE
+# select over a mutable name→Column tree, so chains stay narrow
+# zero-shuffle projections.
+
+
+def _tree_from_df(df: DataFrame) -> dict:
+    def expand(col: Column, dt: T.DataType):
+        if isinstance(dt, T.StructType):
+            return {f.name: expand(col.getField(f.name), f.dataType) for f in dt.fields}
+        return col
+
+    return {f.name: expand(df[f.name], f.dataType) for f in df.schema.fields}
+
+
+def flatten_paths(fields: dict) -> dict[str, object]:
+    """TOML nested tables → dotted paths ({"x": {"y": 1}} → {"x.y": 1});
+    already-dotted keys pass through."""
+    out: dict[str, object] = {}
+    for k, v in fields.items():
+        if isinstance(v, dict):
+            for sub, val in flatten_paths(v).items():
+                out[f"{k}.{sub}"] = val
+        else:
+            out[k] = v
+    return out
+
+
+def _tree_get(tree: dict, segs: list[str]):
+    node = tree
+    for s in segs:
+        if not (isinstance(node, dict) and s in node):
+            return None
+        node = node[s]
+    return node
+
+
+def _tree_set(tree: dict, segs: list[str], value):
+    node = tree
+    for s in segs[:-1]:
+        nxt = node.get(s)
+        if not isinstance(nxt, dict):  # scalar-then-nested: replace
+            nxt = node[s] = {}
+        node = nxt
+    node[segs[-1]] = value
+
+
+def _tree_remove(tree: dict, segs: list[str]) -> bool:
+    node = tree
+    for s in segs[:-1]:
+        node = node.get(s) if isinstance(node, dict) else None
+        if not isinstance(node, dict):
+            return False
+    if isinstance(node, dict) and segs[-1] in node:
+        del node[segs[-1]]
+        return True
+    return False
+
+
+def _prune_empty(tree: dict):
+    for k in list(tree):
+        v = tree[k]
+        if isinstance(v, dict):
+            _prune_empty(v)
+            if not v:
+                del tree[k]
+
+
+def _tree_select(df: DataFrame, tree: dict) -> DataFrame:
+    from vector_spark.operators.remap import _struct_from_tree
+
+    # an emptied struct is unrepresentable as a Spark column (struct<>),
+    # so it is always pruned — with drop_empty this is exactly the
+    # reference semantics; without it the reference would keep `{}`
+    # (documented divergence, no behavior case exercises it)
+    _prune_empty(tree)
+    return df.select(*[
+        (_struct_from_tree(v) if isinstance(v, dict) else v).alias(k)
+        for k, v in tree.items()
+    ])
+
+
 class AddFields(Transform):
     """Literal or `{{field}}`-templated values; overwrite flag mirrors
-    add_fields' insert-vs-keep semantics."""
+    add_fields' insert-vs-keep semantics. Dotted / TOML-nested names
+    insert by path (add_fields.rs:104). Array-index paths ("a[0]") and
+    heterogeneous arrays are a documented divergence."""
 
     def __init__(self, fields: dict[str, object], overwrite: bool = True):
         self.fields, self.overwrite = fields, overwrite
 
     def apply(self, df: DataFrame) -> DataFrame:
-        for name, value in self.fields.items():
+        tree = _tree_from_df(df)
+        for name, value in flatten_paths(self.fields).items():
             col = render_template(value) if isinstance(value, str) else F.lit(value)
-            if not self.overwrite and name in df.columns:
+            segs = name.split(".")
+            if not self.overwrite and _tree_get(tree, segs) is not None:
                 continue
-            df = df.withColumn(name, col)
-        return df
+            _tree_set(tree, segs, col)
+        return _tree_select(df, tree)
 
 
 def render_template(value: str) -> Column:
@@ -57,58 +146,83 @@ def render_template(value: str) -> Column:
 
 
 class RemoveFields(Transform):
-    def __init__(self, fields: list[str]):
-        self.fields = fields
+    """Drop fields by path (remove_fields.rs:63); drop_empty also removes
+    containers emptied by the removal."""
+
+    def __init__(self, fields: list[str], drop_empty: bool = False):
+        self.fields, self.drop_empty = fields, drop_empty
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return df.drop(*self.fields)
+        if all("." not in f for f in self.fields):
+            return df.drop(*self.fields)
+        tree = _tree_from_df(df)
+        for f in self.fields:
+            _tree_remove(tree, f.split("."))
+        return _tree_select(df, tree)
 
 
 class RenameFields(Transform):
-    def __init__(self, mapping: dict[str, str]):
-        self.mapping = mapping
+    """Move fields old-path → new-path (rename_fields.rs:67 —
+    remove(old) then insert(new), overwriting a conflicting target);
+    drop_empty prunes containers emptied by the move."""
+
+    def __init__(self, mapping: dict[str, str], drop_empty: bool = False):
+        self.mapping, self.drop_empty = flatten_paths(mapping), drop_empty
 
     def apply(self, df: DataFrame) -> DataFrame:
+        tree = _tree_from_df(df)
         for old, new in self.mapping.items():
-            if old not in df.columns:
+            val = _tree_get(tree, old.split("."))
+            if val is None:
                 # rename_fields.rs only touches the target when
                 # remove(old) yields a value: a missing source leaves
                 # the target untouched
                 continue
-            if new in df.columns and new != old:
-                # rename replaces an existing target field
-                # (rename_fields.rs: insert overwrites on conflict)
-                df = df.drop(new)
-            df = df.withColumnRenamed(old, new)
-        return df
+            _tree_remove(tree, old.split("."))
+            _tree_set(tree, new.split("."), val)
+        return _tree_select(df, tree)
 
 
 class Coercer(Transform):
     """Cast listed fields per a types map; drop_unspecified projects away
     everything else (coercer.rs:15-19). Types use Vector's Conversion
-    vocabulary: bytes|string, int, float, bool, timestamp[|fmt]."""
+    vocabulary: bytes|string, int, float, bool, timestamp[|strptime-fmt].
+    Dotted field names coerce struct subfields in place."""
 
     TYPE_MAP = {"bytes": "string", "string": "string", "int": "long", "integer": "long",
                 "float": "double", "bool": "boolean", "boolean": "boolean"}
 
+    def _coerce(self, col: Column, typ: str) -> Column:
+        if typ.startswith("timestamp"):
+            _, _, fmt = typ.partition("|")
+            if fmt:
+                from vector_spark.vrl.compiler import _strptime_to_spark
+
+                return F.try_to_timestamp(col, F.lit(_strptime_to_spark(fmt)))
+            # bare `timestamp`: the reference tries a battery of common
+            # formats (lib/vector-common Conversion); ISO8601 covers the
+            # test surface, with second-level fallback for no-fraction
+            return F.coalesce(
+                F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS][XXX]")),
+                F.try_to_timestamp(col),
+            )
+        return col.try_cast(self.TYPE_MAP[typ])
+
     def __init__(self, types: dict[str, str], drop_unspecified: bool = False):
-        self.types, self.drop_unspecified = types, drop_unspecified
+        self.types, self.drop_unspecified = flatten_paths(types), drop_unspecified
 
     def apply(self, df: DataFrame) -> DataFrame:
+        tree = _tree_from_df(df)
         for field, typ in self.types.items():
-            if typ.startswith("timestamp"):
-                _, _, fmt = typ.partition("|")
-                col = (
-                    F.try_to_timestamp(F.col(field), F.lit(fmt))
-                    if fmt
-                    else F.try_to_timestamp(F.col(field))
-                )
-            else:
-                col = F.col(field).try_cast(self.TYPE_MAP[typ])
-            df = df.withColumn(field, col)
+            segs = field.split(".")
+            cur = _tree_get(tree, segs)
+            if cur is None or isinstance(cur, dict):
+                continue
+            _tree_set(tree, segs, self._coerce(cur, typ))
+        out = _tree_select(df, tree)
         if self.drop_unspecified:
-            df = df.select(*self.types.keys())
-        return df
+            out = out.select(*self.types.keys())
+        return out
 
 
 class Concat(Transform):
@@ -141,7 +255,13 @@ class Concat(Transform):
                     e = ln + end
                 c = c.substr(s + 1, F.greatest(e - s, F.lit(0)))
             parts.append(c)
-        return df.withColumn(self.target, F.concat_ws(self.joiner, *parts))
+        joined = F.concat_ws(self.joiner, *parts)
+        if "." in self.target:  # nested target inserts by path
+            from vector_spark.operators.remap import nest_outputs
+
+            (top, col), = nest_outputs(df, {self.target: joined}).items()
+            return df.withColumn(top, col)
+        return df.withColumn(self.target, joined)
 
 
 class AnsiStripper(Transform):
@@ -149,7 +269,13 @@ class AnsiStripper(Transform):
         self.field = field
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(self.field, strip_ansi_escape_codes(F.col(self.field)))
+        stripped = strip_ansi_escape_codes(F.col(self.field))
+        if "." in self.field:  # nested field: rebuild the struct column
+            from vector_spark.operators.remap import nest_outputs
+
+            (top, col), = nest_outputs(df, {self.field: stripped}).items()
+            return df.withColumn(top, col)
+        return df.withColumn(self.field, stripped)
 
 
 class AddTags(Transform):

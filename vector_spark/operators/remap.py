@@ -29,10 +29,53 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from vector_spark.functions import grok as grok_mod
 from vector_spark.functions import parse as parse_fns
 from vector_spark.operators.base import FallibleTransform
+
+
+def _struct_from_tree(tree: dict, base: tuple[Column, T.StructType] | None = None) -> Column:
+    """{name: Column | subtree} → struct Column; `base` merges the fields
+    of an existing top-level struct column (new names overwrite)."""
+    fields: dict[str, Column] = {}
+    if base is not None:
+        col, dt = base
+        for f in dt.fields:
+            fields[f.name] = col.getField(f.name)
+    for k, v in tree.items():
+        fields[k] = _struct_from_tree(v) if isinstance(v, dict) else v
+    return F.struct(*[c.alias(n) for n, c in fields.items()])
+
+
+def nest_outputs(df: DataFrame, outputs: dict[str, Column]) -> dict[str, Column]:
+    """Dotted output names insert by PATH, as the reference transforms do
+    (regex_parser.rs:131 / tokenizer.rs:99 insert captures via
+    `log.insert(name, value)` where names are lookup paths): "a.b"
+    becomes a struct field `b` of top-level column `a`, merged with an
+    existing struct `a`'s other fields. Only top-level struct merge is
+    supported — a deeper collision replaces the subtree."""
+    tree: dict[str, object] = {}
+    for name, expr in outputs.items():
+        segs = name.split(".")
+        node: dict = tree
+        for s in segs[:-1]:
+            nxt = node.get(s)
+            if not isinstance(nxt, dict):
+                nxt = node[s] = {}
+            node = nxt
+        node[segs[-1]] = expr
+    out: dict[str, Column] = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            base = None
+            if k in df.columns and isinstance(df.schema[k].dataType, T.StructType):
+                base = (df[k], df.schema[k].dataType)
+            out[k] = _struct_from_tree(v, base)
+        else:
+            out[k] = v
+    return out
 
 
 class Remap(FallibleTransform):
@@ -58,8 +101,17 @@ class Remap(FallibleTransform):
 
     def apply(self, df: DataFrame) -> DataFrame:
         ok = self._success()
-        cols = [df[c] for c in df.columns]
-        for name, expr in self.outputs.items():
+        outputs = nest_outputs(df, self.outputs)
+        cols = []
+        for c in df.columns:
+            if c in outputs:
+                # output name collides with an existing field: the
+                # reference OVERWRITES in place (log.insert replaces);
+                # on failure the original value survives
+                cols.append(F.when(ok, outputs.pop(c)).otherwise(df[c]).alias(c))
+            else:
+                cols.append(df[c])
+        for name, expr in outputs.items():
             # on failure: null outputs, original row intact (remap.rs:134-173)
             cols.append(F.when(ok, expr).alias(name))
         out = df.select(*cols)
@@ -72,7 +124,11 @@ class Remap(FallibleTransform):
         with original rows)."""
         ok = self._success()
         good = df.filter(ok)
-        good = good.select(*[good[c] for c in df.columns], *[e.alias(n) for n, e in self.outputs.items()])
+        outputs = nest_outputs(df, self.outputs)
+        cols = [
+            outputs.pop(c).alias(c) if c in outputs else good[c] for c in df.columns
+        ]
+        good = good.select(*cols, *[e.alias(n) for n, e in outputs.items()])
         return good, df.filter(~F.coalesce(ok, F.lit(False)))
 
 
@@ -99,7 +155,8 @@ class RegexParser(Remap):
     {name: group_idx}); first match wins via coalesce."""
 
     def __init__(self, patterns: list[tuple[str, dict[str, int]]], field: str = "message",
-                 drop_failed: bool = False, types: dict[str, str] | None = None):
+                 drop_failed: bool = False, types: dict[str, str] | None = None,
+                 target_field: str | None = None):
         col = F.col(field)
         names = {n for _, groups in patterns for n in groups}
         outputs: dict[str, Column] = {}
@@ -115,6 +172,8 @@ class RegexParser(Remap):
             outputs[name] = F.coalesce(*branches) if len(branches) > 1 else branches[0]
             if types and name in types:
                 outputs[name] = outputs[name].try_cast(types[name])
+        if target_field:  # captures nest under target_field (regex_parser.rs:131)
+            outputs = {f"{target_field}.{n}": c for n, c in outputs.items()}
         super().__init__(outputs=outputs, success=any_match, drop_on_error=drop_failed)
 
 

@@ -15,9 +15,11 @@ Mirrors the reference compile pipeline
      delegated to Catalyst's analyzer at build time
 
 The config shape is Vector's: `[sources.X] / [transforms.Y] /
-[sinks.Z]` tables with `type` and `inputs`. Conditions are SQL boolean
-expressions (the VRL-condition analogue). Parse with
-``tomllib.loads`` or pass a plain dict.
+[sinks.Z]` tables with `type` and `inputs`. Conditions are the
+reference's own forms — `vrl` (real VRL source, compiled by
+vector_spark.vrl), `check_fields`, `datadog_search`, `is_log` /
+`is_metric` — plus a `sql` escape hatch. Parse with ``tomllib.loads``
+or pass a plain dict.
 """
 
 from __future__ import annotations
@@ -112,6 +114,20 @@ def compile_condition(cond, df=None) -> "F.Column":
     or "datadog_search" (conditions/datadog_search.rs)."""
     if isinstance(cond, dict):
         kind = cond.get("type", "sql")
+        if kind in ("is_log", "is_metric") and "source" not in cond:
+            # event-type checks (src/conditions/is_log.rs / is_metric.rs):
+            # logs and metrics are separate DataFrames in our model
+            # (SURVEY §1.3), so the check is a compile-time shape test on
+            # the frame — metric frames carry the log_to_metric columns.
+            if df is None:
+                raise ConfigError(f"{kind} conditions need the input frame")
+            metric_shaped = {"name", "kind", "value_type", "value"} <= set(df.columns)
+            return F.lit(metric_shaped if kind == "is_metric" else not metric_shaped)
+        if kind == "check_fields":
+            # {"field.predicate": value, ...} — check_fields.rs
+            from vector_spark.functions.conditions import check_fields
+
+            return check_fields({k: v for k, v in cond.items() if k != "type"})
         src = cond["source"]
         if kind == "datadog_search":
             from vector_spark.functions.datadog_search import datadog_search
@@ -197,22 +213,19 @@ def _t_add_fields(df, cfg):
 def _t_remove_fields(df, cfg):
     from vector_spark.operators.fields import RemoveFields
 
-    return RemoveFields(cfg["fields"]).apply(df)
+    return RemoveFields(cfg["fields"], drop_empty=bool(cfg.get("drop_empty"))).apply(df)
 
 
 def _t_rename_fields(df, cfg):
     from vector_spark.operators.fields import RenameFields
 
-    return RenameFields(cfg["fields"]).apply(df)
+    return RenameFields(cfg["fields"], drop_empty=bool(cfg.get("drop_empty"))).apply(df)
 
 
 def _t_coercer(df, cfg):
-    out = df
-    for col, typ in cfg["types"].items():
-        out = out.withColumn(col, F.col(col).try_cast(typ))
-    if cfg.get("drop_unspecified"):
-        out = out.select(*cfg["types"].keys())
-    return out
+    from vector_spark.operators.fields import Coercer
+
+    return Coercer(cfg["types"], drop_unspecified=bool(cfg.get("drop_unspecified"))).apply(df)
 
 
 def _t_json_parser(df, cfg):
@@ -260,15 +273,17 @@ def _t_regex_parser(df, cfg):
         patterns,
         field=cfg.get("field", "message"),
         types=cfg.get("types", {}),
+        target_field=cfg.get("target_field"),
     ).apply(df)
 
 
 def _t_grok_parser(df, cfg):
     from vector_spark.functions.grok import grok_extract
+    from vector_spark.operators.remap import nest_outputs
 
     caps = grok_extract(F.col(cfg.get("field", "message")), cfg["pattern"])
     out = df
-    for name, col in caps.items():
+    for name, col in nest_outputs(df, caps).items():
         out = out.withColumn(name, col)
     return out
 
@@ -428,7 +443,7 @@ def _parse_concat_item(item: str):
     concat.rs substring-item grammar with open/negative bounds."""
     import re as _re
 
-    m = _re.match(r"^(\w+)(?:\[(-?\d*)\.\.(-?\d*)\])?$", item)
+    m = _re.match(r"^([\w.]+?)(?:\[(-?\d*)\.\.(-?\d*)\])?$", item)
     if not m:
         raise ConfigError(f"bad concat item {item!r}")
     name, a, b = m.groups()
@@ -458,10 +473,12 @@ def _t_key_value_parser(df, cfg):
 def _t_logfmt_parser(df, cfg):
     from vector_spark.functions.parse import parse_logfmt
     from vector_spark.functions.strings import to_bool
+    from vector_spark.operators.remap import nest_outputs
 
     m = parse_logfmt(F.col(cfg.get("field", "message")))
     types = cfg.get("types", {})
     out = df.withColumn(cfg.get("target_field", "attrs"), m)
+    promoted = {}
     for k in [*cfg.get("promote", []), *types]:
         c = F.element_at(m, k)
         t = types.get(k)
@@ -469,7 +486,11 @@ def _t_logfmt_parser(df, cfg):
             c = to_bool(c)
         elif t and t != "string":
             c = c.try_cast({"int": "long", "float": "double"}.get(t, t))
-        out = out.withColumn(k, c)
+        promoted[k] = c
+    # dotted keys ("nested.code") insert by path, as the reference's
+    # root-level log.insert does (logfmt_parser.rs:66)
+    for name, col in nest_outputs(out, promoted).items():
+        out = out.withColumn(name, col)
     return out
 
 

@@ -19,9 +19,14 @@ the behavior-test TOML shape
       [[tests.outputs]]
         extract_from = "x"
         [[tests.outputs.conditions]]
-          type = "sql"         # the reference's `vrl`; ours is a SQL
-          source = "a = 1 AND b = 'x'"    # boolean predicate
+          type = "vrl"                    # real VRL source (compiled by
+          source = '.a == 1 && .b == "x"' # vector_spark.vrl), or "sql",
+                                          # or "check_fields"/is_log/...
       no_outputs_from = ["y"]  # optional: these components emit nothing
+
+    Test inputs: type = "raw" (value → {message}), "log" (log_fields,
+    dotted keys nest), "metric" (metric.name/kind/tags/counter... → a
+    row in the log_to_metric frame shape), or the "rows" extension.
 
 Execution: each test compiles the shared transform topology with the
 test's input events spliced in as an inline source at every
@@ -121,6 +126,39 @@ def _input_rows(inp: dict) -> tuple[list, str | None]:
         return [_nest_log_fields(inp.get("log_fields", {}))], None
     if kind == "rows":  # extension: multiple typed rows
         return inp["rows"], inp.get("schema")
+    if kind == "metric":
+        # reference shape (unit_test.rs metric inputs): metric.name/kind/
+        # tags.* plus one value table (counter/gauge/set/...). Lands as a
+        # row in the repo's metric frame model (log_to_metric's schema);
+        # ts is pinned for determinism — no behavior case checks it.
+        import datetime
+
+        m = inp.get("metric", {})
+        value_type, value, set_values = "counter", None, None
+        for t in ("counter", "gauge", "histogram", "summary", "set"):
+            if t in m:
+                value_type = t
+                if t == "set":
+                    set_values = [str(x) for x in m[t].get("values", [])]
+                else:
+                    v = m[t].get("value")
+                    value = float(v) if v is not None else None
+                break
+        row = {
+            "name": m.get("name", ""),
+            "namespace": m.get("namespace", "vector"),
+            "tags": {k: str(v) for k, v in m.get("tags", {}).items()},
+            "ts": datetime.datetime(2020, 1, 1),
+            "kind": m.get("kind", "absolute"),
+            "value_type": value_type,
+            "value": value,
+            "set_values": set_values,
+        }
+        return [row], (
+            "name string, namespace string, tags map<string,string>, "
+            "ts timestamp, kind string, value_type string, value double, "
+            "set_values array<string>"
+        )
     raise ConfigError(f"unknown test input type {kind!r}")
 
 
@@ -225,7 +263,7 @@ def run_unit_tests(
                 out_df = spark.createDataFrame(rows, resolve(src).schema)
                 for cond in check.get("conditions", []):
                     kind = cond.get("type", "sql")
-                    pred = cond["source"]
+                    pred = cond.get("source", cond)
                     # reference semantics (unit_test.rs:234-258): a
                     # condition passes when AT LEAST ONE output event
                     # satisfies it
@@ -240,8 +278,15 @@ def run_unit_tests(
                     elif kind == "sql":
                         col = F.expr(pred)
                     else:
-                        failures.append(f"unsupported condition type {kind!r}")
-                        continue
+                        # check_fields / datadog_search / is_log / ... —
+                        # the shared condition compiler handles them
+                        from vector_spark.plans.config import compile_condition
+
+                        try:
+                            col = compile_condition(cond, out_df)
+                        except Exception as e:
+                            failures.append(f"condition error: {e}: {cond}")
+                            continue
                     n_ok = out_df.filter(F.coalesce(col, F.lit(False))).count()
                     if n_ok == 0:
                         failures.append(pred)

@@ -1312,7 +1312,73 @@ class _Compiler:
             return self._binary(e)
         if isinstance(e, P.Call):
             return self._call(e)
+        if isinstance(e, P.IfExpr):
+            return self._if_expr(e)
         raise VrlCompileError(f"unsupported expression node {type(e).__name__}")
+
+    def _if_expr(self, e: P.IfExpr) -> V:
+        """`if` in expression position (ast.rs: IfStatement IS an
+        expression — `x = if .a { .b } else { .c }`): each block's value
+        is its final expression; the whole thing compiles to ONE when()
+        chain, so it stays a codegen-friendly Column. Leading block
+        statements may bind VARIABLES (gated on the branch condition via
+        the normal stmt() machinery) but not event paths — conditional
+        event mutation belongs to statement-position `if`, which already
+        handles it."""
+        branches: list[tuple[Column, V]] = []
+        not_prior: Column | None = None
+        for c_expr, block in e.clauses:
+            cv = self.expr(c_expr)
+            if cv.err is not None:
+                self._raise_err(cv.err, not_prior)
+            ccol = F.coalesce(_mat(cv), F.lit(False))
+            gate = ccol if not_prior is None else (not_prior & ccol)
+            branches.append((gate, self._block_value(block, gate)))
+            not_prior = (~ccol) if not_prior is None else (not_prior & ~ccol)
+        other = (
+            self._block_value(e.otherwise, not_prior)
+            if e.otherwise is not None
+            else _null()
+        )
+        vt = other.vtype
+        for _, bv in branches:
+            vt = _unify(vt, bv.vtype)
+        result = _mat(other)
+        for gate, bv in reversed(branches):
+            result = F.when(gate, _mat(bv)).otherwise(result)
+        err = None
+        if other.err is not None or any(bv.err is not None for _, bv in branches):
+            err = other.err if other.err is not None else F.lit(None).cast("string")
+            for gate, bv in reversed(branches):
+                berr = bv.err if bv.err is not None else F.lit(None).cast("string")
+                err = F.when(gate, berr).otherwise(err)
+        return V(result, vt, err=err)
+
+    def _block_value(self, block: tuple, gate: Column | None) -> V:
+        """A block in VALUE position: leading statements run gated on the
+        branch condition (variable binds / fallible bare expressions);
+        the final statement must be an expression — its value is the
+        block's value."""
+        if not block:
+            return _null()
+        *init, last = block
+        for st in init:
+            if isinstance(st, P.Assign) and not (
+                isinstance(st.target, P.Var)
+                and (st.err_target is None or isinstance(st.err_target, P.Var))
+            ):
+                raise VrlCompileError(
+                    "event-path assignment inside an expression-position if "
+                    "block is not supported (use a statement-position if)")
+            if isinstance(st, (P.If, P.Abort)):
+                raise VrlCompileError(
+                    "only variable binds and expressions may precede the "
+                    "value expression in an expression-position if block")
+            self.stmt(st, gate)
+        if isinstance(last, (P.Assign, P.If, P.Abort)):
+            raise VrlCompileError(
+                "an expression-position if block must end with an expression")
+        return self.expr(last)
 
     def _walk(self, base: V, segs: tuple) -> V:
         node = base

@@ -89,6 +89,18 @@ class If:
 
 
 @dataclass(frozen=True)
+class IfExpr:
+    """`if` in EXPRESSION position (ast.rs: IfStatement is an expression;
+    e.g. `x = if .a { .b } else { .c }`). Same surface grammar as If;
+    split at parse time because the compiler gives blocks VALUE semantics
+    here (block value = its final expression) instead of running them as
+    conditional side effects."""
+
+    clauses: tuple  # ((cond, block), ...)
+    otherwise: tuple | None  # block
+
+
+@dataclass(frozen=True)
 class Abort:
     pass
 
@@ -332,6 +344,9 @@ class _Parser:
             return Lit(t.value, "timestamp")
         if t.kind == "IDENT":
             word = t.value
+            if word == "if":
+                f = self.parse_if()
+                return IfExpr(f.clauses, f.otherwise)
             if word == "true":
                 self.next()
                 return Lit(True, "bool")
