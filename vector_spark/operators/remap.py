@@ -193,12 +193,35 @@ class JsonParser(Remap):
 
 
 class KeyValueParser(Remap):
-    """key_value_parser / logfmt_parser → map column (+ promoted keys)."""
+    """key_value_parser / logfmt_parser → map column (+ promoted keys).
+
+    trim_key / trim_value (key_value_parser.rs:16-28): keys and values
+    are whitespace-trimmed, then stripped of the given characters at
+    both ends. When neither is set, the legacy quote-stripping
+    parse_key_value behavior is kept (documented divergence: the
+    reference default keeps quotes)."""
 
     def __init__(self, field: str = "message", separator: str = " ", field_split: str = "=",
                  target_field: str = "attrs", promote: list[str] | None = None,
-                 drop_failed: bool = False):
-        m = parse_fns.parse_key_value(F.col(field), field_split, separator)
+                 drop_failed: bool = False, trim_key: str | None = None,
+                 trim_value: str | None = None):
+        if trim_key is not None or trim_value is not None:
+            import re as _re
+
+            def _trim(expr, chars):
+                expr = F.trim(expr)
+                if chars:
+                    esc = _re.escape(chars)
+                    expr = F.regexp_replace(expr, f"^[{esc}]+|[{esc}]+$", "")
+                return expr
+
+            m = F.str_to_map(F.col(field), F.lit(separator), F.lit(field_split))
+            m = F.map_from_arrays(
+                F.transform(F.map_keys(m), lambda k: _trim(k, trim_key)),
+                F.transform(F.map_values(m), lambda v: _trim(v, trim_value)),
+            )
+        else:
+            m = parse_fns.parse_key_value(F.col(field), field_split, separator)
         outputs = {target_field: m}
         for key in promote or []:
             outputs[key] = F.element_at(m, key)

@@ -467,6 +467,8 @@ def _t_key_value_parser(df, cfg):
         target_field=cfg.get("target_field", "attrs"),
         promote=cfg.get("promote"),
         drop_failed=bool(cfg.get("drop_failed", False)),
+        trim_key=cfg.get("trim_key"),
+        trim_value=cfg.get("trim_value"),
     ).apply(df)
 
 
@@ -520,8 +522,10 @@ def _t_merge(df, cfg):
     from vector_spark.operators.merge import MergePartials
 
     return MergePartials(
-        cfg.get("merge_fields", ["message"]),
-        stream_discriminant=cfg.get("stream_discriminant", ["host"]),
+        cfg.get("fields", cfg.get("merge_fields", ["message"])),
+        stream_discriminant=cfg.get(
+            "stream_discriminant_fields", cfg.get("stream_discriminant", ["host"])
+        ),
         partial_marker=cfg.get("partial_event_marker_field", "_partial"),
         order_by=cfg.get("order_by", "ts"),
     ).apply(df)

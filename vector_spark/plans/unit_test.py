@@ -162,6 +162,66 @@ def _input_rows(inp: dict) -> tuple[list, str | None]:
     raise ConfigError(f"unknown test input type {kind!r}")
 
 
+def _merge_struct_types(a, b):
+    """Recursive by-name union of two StructTypes (a's field order first);
+    struct-vs-struct recurses, identical types pass, anything else raises."""
+    from pyspark.sql import types as T
+
+    fields = []
+    b_names = {f.name: f for f in b.fields}
+    for fa in a.fields:
+        fb = b_names.pop(fa.name, None)
+        if fb is None or fa.dataType == fb.dataType:
+            fields.append(fa)
+        elif isinstance(fa.dataType, T.StructType) and isinstance(fb.dataType, T.StructType):
+            fields.append(T.StructField(fa.name, _merge_struct_types(fa.dataType, fb.dataType)))
+        else:
+            raise ConfigError(
+                f"test inputs disagree on field {fa.name!r}: "
+                f"{fa.dataType.simpleString()} vs {fb.dataType.simpleString()}")
+    fields.extend(b_names.values())
+    return T.StructType(fields)
+
+
+def _conform_col(col, src_dt, tgt_dt):
+    from pyspark.sql import types as T
+
+    if isinstance(tgt_dt, T.StructType):
+        parts = []
+        src_names = {f.name: f for f in src_dt.fields} if isinstance(src_dt, T.StructType) else {}
+        for f in tgt_dt.fields:
+            if f.name in src_names:
+                parts.append(
+                    _conform_col(col.getField(f.name), src_names[f.name].dataType, f.dataType).alias(f.name))
+            else:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return F.struct(*parts)
+    return col
+
+
+def _union_events(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union test-input frames whose nested shapes may differ: missing
+    top-level columns fill with null (unionByName), and struct columns
+    align by a recursive field merge — the reference's events are
+    free-form maps, so its harness unions trivially; the static-schema
+    analogue widens both sides to the merged schema first."""
+    if a.schema == b.schema:
+        return a.unionByName(b)
+    target = _merge_struct_types(a.schema, b.schema)
+
+    def conform(df):
+        cols = []
+        names = {f.name: f for f in df.schema.fields}
+        for f in target.fields:
+            if f.name in names:
+                cols.append(_conform_col(df[f.name], names[f.name].dataType, f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    return conform(a).unionByName(conform(b))
+
+
 def run_unit_tests(
     spark: SparkSession, config: dict | str, env: dict[str, str] | None = None
 ) -> list[UnitTestResult]:
@@ -198,17 +258,20 @@ def run_unit_tests(
             results.append(res)
             continue
 
-        # insert_at → input DataFrame (several inputs to one point union)
+        # insert_at → input DataFrame (several inputs to one point union);
+        # multi-input tests also get an `__arrival` sequence column — the
+        # batch analogue of the reference harness feeding events in TOML
+        # order (order-sensitive transforms like `merge` fall back to it)
         injected: dict[str, DataFrame] = {}
         try:
-            for inp in inputs:
+            for seq, inp in enumerate(inputs):
                 rows, schema = _input_rows(inp)
                 df = spark.createDataFrame(rows, schema)
+                if len(inputs) > 1:
+                    df = df.withColumn("__arrival", F.lit(seq))
                 for at in _injection_targets(inp["insert_at"]):
                     injected[at] = (
-                        injected[at].unionByName(df, allowMissingColumns=True)
-                        if at in injected
-                        else df
+                        _union_events(injected[at], df) if at in injected else df
                     )
         except ConfigError as e:
             res.errors.append(str(e))
