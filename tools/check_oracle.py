@@ -50,16 +50,37 @@ def _cell_close(a: str, b: str, rel_tol: float) -> bool:
     return math.isclose(fa, fb, rel_tol=rel_tol, abs_tol=rel_tol)
 
 
+_FLOAT_CELL = None  # compiled lazily
+
+
+def _float_free_key(row):
+    """Sort key that ignores float-formatted cells (norm_cell renders
+    floats as %.6f, ints without a decimal point): rows whose float
+    cells differ by rounding (different f64 accumulation orders round
+    a .xxxx5 boundary differently) must still PAIR UP for the tolerant
+    compare — sorting on the float cell would misalign the whole tail."""
+    global _FLOAT_CELL
+    if _FLOAT_CELL is None:
+        import re
+
+        _FLOAT_CELL = re.compile(r"^-?\d+\.\d{6}$")
+    return tuple("" if isinstance(c, str) and _FLOAT_CELL.match(c) else c for c in row)
+
+
 def rowsets_close(rs, rd, rel_tol: float) -> bool:
     """Tolerant compare for scale tiers: exact (%.6f) agreement on a
     1e11-magnitude SUM demands 1e-17 relative precision, beyond what
     differing accumulation orders (Spark partial aggs vs DuckDB) can
-    deliver. Rows pair up by the already-sorted normalized rowsets;
-    float cells then compare with relative tolerance. Only used when
+    deliver — and a ROUNDED f64 (e.g. round(cos, 4)) can differ by one
+    unit in the last place when the pre-rounding values straddle a
+    .xxxx5 boundary. Rows pair up by a float-insensitive sort; float
+    cells then compare with relative tolerance. Only used when
     --rel-tol is passed, and the artifact records both the tolerance
     and which rows passed tolerantly."""
     if len(rs) != len(rd):
         return False
+    rs = sorted(rs, key=_float_free_key)
+    rd = sorted(rd, key=_float_free_key)
     return all(
         len(a) == len(b) and all(_cell_close(x, y, rel_tol) for x, y in zip(a, b))
         for a, b in zip(rs, rd)

@@ -137,7 +137,10 @@ def main() -> int:
     # doc_ids and degrade the check to comparing empty sets
     id_type = dict(zip(fp.schema.names, fp.schema))["doc_id"].dataType.simpleString()
     idx_map = spark.createDataFrame(
-        [(d, int(i)) for i, d in enumerate(ids)], f"doc_id {id_type}, idx long"
+        # .item() unwraps numpy scalars (toPandas gives np.int64 for long
+        # ids; the Row verifier rejects them for LongType)
+        [(d.item() if hasattr(d, "item") else d, int(i)) for i, d in enumerate(ids)],
+        f"doc_id {id_type}, idx long",
     )
     got = hamming_near_pairs(fp, max_dist=3, bits=48, n_seg=6, id_col="doc_id")
     got_count = got.count()
