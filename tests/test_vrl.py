@@ -102,7 +102,8 @@ def test_division_always_float_and_zero_value(spark):
                [{"a": 9, "b": 12, "c": 0}]).collect()[0]
     assert out.q == 0.75
     assert out.z == 0.0  # zero-value on captured error (remap_arithmetic_error)
-    assert out.e2 is not None and "division by zero" in out.e2
+    # exact reference message (corpus infallible_err_return_value fixture)
+    assert out.e2 == "can't divide by zero"
 
 
 def test_unhandled_error_rolls_back_event(spark):

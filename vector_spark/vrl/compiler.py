@@ -88,7 +88,15 @@ def _unify(a: str, b: str) -> str:
     return "any"
 
 
-_NUMERIC = ("int", "float", "any", "null")
+_NUMERIC = ("int", "float", "any")
+
+# reference type names as they appear in runtime error messages
+# (lib/vrl/compiler/src/value/kind.rs)
+_VRL_TYPE = {
+    "int": "integer", "float": "float", "string": "string", "bool": "boolean",
+    "null": "null", "array": "array", "object": "object", "regex": "regex",
+    "timestamp": "timestamp", "any": "any",
+}
 
 
 class V:
@@ -96,10 +104,11 @@ class V:
     optional compile-time structure (object field map / array items)
     and an optional Python constant."""
 
-    __slots__ = ("col", "vtype", "err", "fields", "items", "const", "has_const")
+    __slots__ = ("col", "vtype", "err", "fields", "items", "const", "has_const",
+                 "checked", "err_always")
 
     def __init__(self, col=None, vtype="any", err=None, fields=None, items=None,
-                 const=None, has_const=False):
+                 const=None, has_const=False, checked=False, err_always=False):
         self.col = col
         self.vtype = vtype
         self.err = err  # Column[string] (null = ok) | None = infallible
@@ -107,6 +116,13 @@ class V:
         self.items = items  # dict[int, V] for concrete arrays
         self.const = const
         self.has_const = has_const
+        # checked=True: the error channel is ALLOWED to reach runtime —
+        # a `fn!()` bang call (abort-on-error, ast.rs FunctionCall.abort);
+        # strict mode treats it as handled (E100 doesn't fire)
+        self.checked = checked
+        # err_always=True: the error fires unconditionally (known at
+        # compile time, e.g. a constant-folded `1 / 0`)
+        self.err_always = err_always
 
     def infallible(self) -> bool:
         return self.err is None
@@ -384,9 +400,26 @@ def _fn_parse_grok(c, args, call):
 def _fn_parse_key_value(c, args, call):
     from vector_spark.functions.parse import parse_key_value
 
-    col = _mat(args["value"])
+    v = args["value"]
     kv = _need_const(args, "key_value_delimiter", call) or "="
     fd = _need_const(args, "field_delimiter", call) or " "
+    if v.has_const and isinstance(v.const, str):
+        # constant input folds to a concrete object so the result keeps
+        # per-key fields (merge/|= need them)
+        out: dict = {}
+        for part in v.const.split(fd):
+            if kv in part:
+                k, _, val = part.partition(kv)
+                k = k.strip().strip('"')
+                if k:
+                    out[k] = val.strip().strip('"')
+        if out:
+            return V(None, "object",
+                     fields={k: _from_python(x) for k, x in out.items()},
+                     err=F.lit(None).cast("string"))
+        return V(None, "object", fields={}, err_always=True,
+                 err=_call_err(call, "could not parse key/value pairs"))
+    col = _mat(v)
     out = parse_key_value(col, kv, fd)
     err = F.when(out.isNull() | (F.size(out) == 0),
                  _call_err(call, "could not parse key/value pairs"))
@@ -525,6 +558,23 @@ def _fn_assert(c, args, call):
     return V(F.lit(True), "bool", err=_combine_err(cond.err, err))
 
 
+def _fn_compact(c, args, call):
+    """compact works on arrays AND objects (compact.rs): null (and, for
+    objects with known fields, statically-null) entries are dropped.
+    Per-row-dynamic null fields can't leave a fixed schema — documented
+    divergence of the single-schema model."""
+    v = args["value"]
+    if v.fields is not None:
+        kept = {k: f for k, f in v.fields.items()
+                if not (f.vtype == "null" or (f.has_const and f.const is None))}
+        return V(None, "object", fields=kept, err=v.err)
+    if v.vtype == "object" and v.col is not None:
+        return V(F.map_filter(v.col, lambda _, x: x.isNotNull()), "object", err=v.err)
+    from vector_spark.functions import strings as S
+
+    return V(S.compact(_mat(v)), "array", err=v.err)
+
+
 def _fn_encode_json(c, args, call):
     v = args["value"]
     return V(F.to_json(_mat(v)), "string", err=v.err)
@@ -558,6 +608,12 @@ def _str_pred(method: str):
 
     def build(c, args, call):
         v, sub = args["value"], args["substring"]
+        if c.strict and v.vtype not in ("string", "any"):
+            # the reference rejects non-string values at compile time
+            # (merge/type_defs_wrong.vrl: "invalid argument type")
+            raise VrlCompileError(
+                f"invalid argument type: {call.name}() value must be a "
+                f"string, got {_VRL_TYPE[v.vtype]}")
         cs = args.get("case_sensitive")
         case_sensitive = cs.const if (cs is not None and cs.has_const) else True
         col, s = _mat(v), _mat(sub)
@@ -811,18 +867,48 @@ def _const_path(args: dict, call: P.Call, name: str = "path") -> tuple:
     return tuple(segs)
 
 
+def _index_item(node: V, s: int) -> V:
+    """Array element lookup with negative-from-the-end semantics
+    (issues/5546_negative_indexing_arrays)."""
+    if node.items is not None:
+        if s < 0:
+            s = (max(node.items) + 1 if node.items else 0) + s
+        return node.items.get(s) if s >= 0 else None
+    if node.vtype in ("array", "any") and node.col is not None:
+        if s < 0:
+            return V(F.element_at(node.col, s), "any")
+        return V(F.get(node.col, s), "any")
+    return None
+
+
+def _alt_field(node: V, alt) -> V:
+    """`.(a | b)` coalesced segment: first alternative that resolves
+    (parser.lalrpop PathSegment::Coalesce)."""
+    if node.fields is not None:
+        hits = [node.fields[o] for o in alt.options if o in node.fields]
+        if not hits:
+            return _null()
+        if len(hits) == 1:
+            return hits[0]
+        vt = "null"
+        for h in hits:
+            vt = _unify(vt, h.vtype)
+        return V(F.coalesce(*[_mat(h) for h in hits]), vt)
+    if node.vtype in ("object", "any") and node.col is not None:
+        return V(F.coalesce(*[node.col.getItem(o) for o in alt.options]), "any")
+    return _null()
+
+
 def _walk_v(v: V, segs: tuple) -> V:
     """Descend a compiled value by path segments — the value-space twin
     of _Compiler._get_path (get.rs / the dynamic-path family)."""
     node = v
     for s in segs:
+        if isinstance(s, P.Alt):
+            node = _alt_field(node, s)
+            continue
         if isinstance(s, int):
-            if node.items is not None:
-                node = node.items.get(s) or _null()
-            elif node.vtype in ("array", "any") and node.col is not None:
-                node = V(F.get(node.col, s), "any")
-            else:
-                return _null()
+            node = _index_item(node, s) or _null()
             continue
         if node.fields is not None:
             node = node.fields.get(s) or _null()
@@ -841,22 +927,54 @@ def _fn_get(c, args, call):
              const=out.const, has_const=out.has_const)
 
 
+def _fresh_container(seg) -> V:
+    kind = "array" if isinstance(seg, int) else "object"
+    return V(None, kind, fields={} if kind == "object" else None,
+             items={} if kind == "array" else None)
+
+
 def _set_in(v: V, segs: tuple, value: V, call: P.Call) -> V:
     s = segs[0]
+    if isinstance(s, P.Alt):
+        # insert through a coalesced segment: first statically-present
+        # alternative, else the LAST (pinned by the corpus
+        # single_{variable,external}_complex fixtures where
+        # `.(qux | "quux qux")` creates "quux qux")
+        s = s.options[-1]
+        if v.fields is not None:
+            for o in segs[0].options:
+                if o in v.fields:
+                    s = o
+                    break
+        segs = (s,) + segs[1:]
     if isinstance(s, int):
-        if v.items is None and v.col is not None:
+        if v.items is None and v.col is not None and v.vtype in ("array", "any"):
             raise VrlCompileError(
                 "set() into an opaque array needs known elements in the "
                 "compile-to-Column model")
+        # a non-array value is REPLACED by a fresh array
+        # (insert.rs / corpus assignment/indexing.vrl: `v1 = 0; v1[1] = 1`)
         items = dict(v.items or {})
+        length = (max(items) + 1) if items else 0
+        if s < 0:
+            idx = length + s
+            if idx < 0:
+                # prepend-resize: old elements shift right, implicit
+                # nulls pad the gap ([] with [-2] → [x, null])
+                shift = -idx
+                items = {i + shift: it for i, it in items.items()}
+                anchor = length + shift - 1
+                if anchor >= 0 and anchor not in items:
+                    items[anchor] = _null()
+                s = 0
+            else:
+                s = idx
         if len(segs) == 1:
             items[s] = value
         else:
             child = items.get(s)
             if child is None or (child.fields is None and child.items is None):
-                kind = "array" if isinstance(segs[1], int) else "object"
-                child = V(None, kind, fields={} if kind == "object" else None,
-                          items={} if kind == "array" else None)
+                child = _fresh_container(segs[1])
             items[s] = _set_in(child, segs[1:], value, call)
         return V(None, "array", items=items, err=v.err)
     if v.fields is None and v.col is not None and v.vtype == "object":
@@ -869,9 +987,7 @@ def _set_in(v: V, segs: tuple, value: V, call: P.Call) -> V:
     else:
         child = fields.get(s)
         if child is None or (child.fields is None and child.items is None):
-            kind = "array" if isinstance(segs[1], int) else "object"
-            child = V(None, kind, fields={} if kind == "object" else None,
-                      items={} if kind == "array" else None)
+            child = _fresh_container(segs[1])
         fields[s] = _set_in(child, segs[1:], value, call)
     return V(None, "object", fields=fields, err=v.err)
 
@@ -1086,12 +1202,14 @@ def _registry():
         "includes": (("value", "item"), _fn_includes),
         "push": (("value", "item"), _fn_push),
         "append": (("value", "items"), _fn_append),
-        "compact": (("value",), _simple(S.compact, "array", "value")),
+        "compact": (("value",), _fn_compact),
         "unique": (("value",), _simple(S.unique, "array", "value")),
         "flatten": (("value",), _simple(S.flatten_, "array", "value")),
         "merge": (("to", "from"), _fn_merge),
         # wider parser family — dict-returning builders → object values
-        "parse_syslog": (("value",), _dict_parser(PF.parse_syslog)),
+        "parse_syslog": (("value",), _dict_parser(
+            PF.parse_syslog,
+            detail="unable to parse input as valid syslog message")),
         "parse_apache_log": (("value", "format"), _dict_parser(parse_apache)),
         "parse_common_log": (("value",), _dict_parser(PF.parse_apache_log)),
         "parse_glog": (("value",), _dict_parser(PF.parse_glog)),
@@ -1185,20 +1303,25 @@ def registry():
 
 # --------------------------------------------------------- compiler
 class _Compiler:
-    def __init__(self, schema: T.StructType, enrichment: dict | None = None):
+    def __init__(self, schema: T.StructType, enrichment: dict | None = None,
+                 strict: bool = False):
         self.schema = schema
         self.enrichment = enrichment or {}
+        self.strict = strict
         self.root: dict[str, V] = {}
         for f in schema.fields:
             self.root[f.name] = self._leaf(_qcol(f.name), f.dataType)
         self.vars: dict[str, V] = {}
         self.err_flag: Column = F.lit(False)
+        self.err_msg: Column = F.lit(None).cast("string")
         self.abort_flag: Column = F.lit(False)
         self.can_fail = False
         self.can_abort = False
         self.emit_array: V | None = None
         self.unnest_field: str | None = None
         self.deleted: set[str] = set()
+        self._cur_cond: Column | None = None  # gate of the enclosing stmt
+        self.aborted_const = False  # an unconditional abort has run
 
     def _leaf(self, col: Column, dt: T.DataType) -> V:
         if isinstance(dt, T.StructType):
@@ -1212,19 +1335,22 @@ class _Compiler:
         node: V | dict = self.root
         for s in segs:
             if isinstance(node, dict):  # the root field map
-                if s not in node:
+                if isinstance(s, P.Alt):
+                    node = V(None, "object", fields=dict(node))
+                    node = _alt_field(node, s)
+                    continue
+                if not isinstance(s, str) or s not in node:
                     return _null()
                 node = node[s]
                 continue
+            if isinstance(s, P.Alt):
+                node = _alt_field(node, s)
+                continue
             if isinstance(s, int):
-                if node.items is not None:
-                    if s not in node.items:
-                        return _null()
-                    node = node.items[s]
-                elif node.vtype == "array" and node.col is not None:
-                    return V(F.get(node.col, s), "any")
-                else:
+                got = _index_item(node, s)
+                if got is None:
                     return _null()
+                node = got
                 continue
             # string segment; getItem resolves struct fields AND map keys
             if node.fields is not None:
@@ -1246,41 +1372,31 @@ class _Compiler:
             old = self._get_path(segs)
             newcol = F.when(cond, _mat(value)).otherwise(_mat(old))
             value = V(newcol, _unify(value.vtype, old.vtype))
-        node = self.root
-        for depth, s in enumerate(segs[:-1]):
-            container = node if isinstance(node, dict) else node.fields
-            if container is None:
-                raise VrlCompileError(f"cannot descend into non-object at {s!r}")
-            child = container.get(s)
-            if child is None or (child.fields is None and child.items is None):
-                if child is not None and child.vtype == "object" and child.col is not None:
-                    # opaque struct w/o schema expansion: replace
-                    child = V(None, "object", fields={})
-                else:
-                    kind = "array" if isinstance(segs[depth + 1], int) else "object"
-                    child = V(None, kind,
-                              fields={} if kind == "object" else None,
-                              items={} if kind == "array" else None)
-                container[s] = child
-            node = child
-        last = segs[-1]
-        container = node if isinstance(node, dict) else None
-        if container is not None:
-            if isinstance(last, int):
-                raise VrlCompileError("cannot index the event root")
-            container[last] = value
-            self.deleted.discard(last)
+        first = segs[0]
+        if isinstance(first, P.Alt):
+            chosen = first.options[-1]
+            for o in first.options:
+                if o in self.root:
+                    chosen = o
+                    break
+            first = chosen
+        if isinstance(first, int):
+            raise VrlCompileError("cannot index the event root")
+        if len(segs) == 1:
+            self.root[first] = value
+            self.deleted.discard(first)
             return
-        if isinstance(last, int):
-            if node.items is None:
-                node.items = {}
-                node.vtype = "array"
-            node.items[last] = value
-        else:
-            if node.fields is None:
-                node.fields = {}
-                node.vtype = "object"
-            node.fields[last] = value
+        cur = self.root.get(first)
+        if cur is None or (cur.fields is None and cur.items is None
+                           and cur.col is None):
+            cur = _fresh_container(segs[1])
+        elif cur.fields is None and cur.items is None and cur.col is not None \
+                and cur.vtype == "object":
+            # opaque struct w/o schema expansion: replace
+            cur = V(None, "object", fields={})
+        self.root[first] = _set_in(cur, segs[1:], value,
+                                   P.Call("set", (), False, 0, 0))
+        self.deleted.discard(first)
 
     # ---- expressions
     def expr(self, e) -> V:
@@ -1314,6 +1430,13 @@ class _Compiler:
             return self._call(e)
         if isinstance(e, P.IfExpr):
             return self._if_expr(e)
+        if isinstance(e, P.Block):
+            # block/group value: run the statements, value = the last
+            # (ast.rs Block; corpus expressions/block/*)
+            v = _null()
+            for st in e.stmts:
+                v = self.stmt_value(st, self._cur_cond)
+            return v
         raise VrlCompileError(f"unsupported expression node {type(e).__name__}")
 
     def _if_expr(self, e: P.IfExpr) -> V:
@@ -1383,9 +1506,15 @@ class _Compiler:
     def _walk(self, base: V, segs: tuple) -> V:
         node = base
         for s in segs:
-            if isinstance(s, int):
-                if node.items is not None:
-                    node = node.items.get(s, _null())
+            if isinstance(s, P.Alt):
+                got = _alt_field(node, s)
+                node = V(got.col, got.vtype, err=node.err,
+                         fields=got.fields, items=got.items)
+            elif isinstance(s, int):
+                if node.items is not None or node.vtype in ("array", "any"):
+                    got = _index_item(node, s) or _null()
+                    node = V(got.col, got.vtype, err=node.err,
+                             fields=got.fields, items=got.items)
                 else:
                     node = V(F.get(_mat(node), s), "any", err=node.err)
             else:
@@ -1397,6 +1526,17 @@ class _Compiler:
                 else:
                     node = V(F.lit(None), "any", err=node.err)
         return node
+
+    def _truthy(self, v: V) -> Column:
+        """VRL truthiness: only null and false are falsy (op.rs)."""
+        if v.vtype == "bool":
+            return F.coalesce(_mat(v), F.lit(False))
+        if v.vtype == "null" and v.col is None:
+            return F.lit(False)
+        if v.vtype in ("any",):
+            c = _mat(v)
+            return c.isNotNull() & F.coalesce(c.cast("boolean"), F.lit(True))
+        return _mat(v).isNotNull()
 
     def _unary(self, e: P.Un) -> V:
         v = self.expr(e.expr)
@@ -1455,6 +1595,10 @@ class _Compiler:
             left = self.expr(e.left)
             right = self.expr(e.right)
             if left.err is None:
+                if self.strict and isinstance(e.left, (P.Lit, P.Arr, P.Obj)):
+                    raise VrlCompileError(
+                        "error[E651]: unnecessary error coalescing operation "
+                        "— this expression can't fail")
                 return left
             lcol = _mat(left)
             col = F.when(left.err.isNull(), lcol).otherwise(_mat(right))
@@ -1465,50 +1609,127 @@ class _Compiler:
         if op in ("==", "!="):
             eq = self._eq(a, b)
             return V(eq if op == "==" else ~eq, "bool", err=err)
-        if op in ("&&", "||"):
-            ca = F.coalesce(_mat(a), F.lit(False))
-            cb = F.coalesce(_mat(b), F.lit(False))
-            return V(ca & cb if op == "&&" else ca | cb, "bool", err=err)
+        if op == "||":
+            # Or returns the lhs VALUE when truthy, else the rhs value
+            # (op.rs Or; corpus logical/or.vrl: `null || "foo"` → "foo")
+            if a.has_const and a.err is None:
+                return a if (a.const is not None and a.const is not False) else b
+            if a.vtype == "null" and a.col is None and a.err is None:
+                return b
+            vt = _unify(a.vtype, b.vtype)
+            if vt != "any" or "any" in (a.vtype, b.vtype):
+                return V(F.when(self._truthy(a), _mat(a)).otherwise(_mat(b)),
+                         vt, err=err)
+            # mixed-type or: boolean coalescing (single-Column divergence)
+            ca = F.coalesce(_mat(a).cast("boolean"), F.lit(False))
+            return V(F.when(ca, _mat(a).cast("string"))
+                     .otherwise(_mat(b).cast("string")), "any", err=err)
+        if op == "&&":
+            # And: lhs null/false → false without touching rhs; rhs must
+            # be boolean or the expression errs (logical/and.vrl:
+            # `true && "foo" ?? "nope"` → "nope")
+            if a.has_const and a.err is None and (
+                    a.const is None or a.const is False):
+                return V(F.lit(False), "bool")
+            and_err = None
+            if b.vtype not in ("bool", "null", "any"):
+                and_err = F.when(self._truthy(a),
+                                 F.lit(f'expected "boolean", got "{b.vtype}"'))
+            cb = F.coalesce(_mat(b).cast("boolean"), F.lit(False))
+            return V(self._truthy(a) & cb, "bool",
+                     err=_combine_err(err, and_err))
         if op in ("<", ">", "<=", ">="):
             ca, cb = _mat(a), _mat(b)
             col = {"<": ca < cb, ">": ca > cb, "<=": ca <= cb, ">=": ca >= cb}[op]
             return V(col, "bool", err=err)
         if op == "+":
-            if a.vtype == "string" or b.vtype == "string":
-                if a.vtype == b.vtype == "string" or "any" in (a.vtype, b.vtype):
-                    return V(F.concat(_mat(a).cast("string"), _mat(b).cast("string")),
-                             "string", err=err)
-                return V(F.lit(None), "any",
-                         err=_combine_err(err, F.lit(f"unable to add {a.vtype} and {b.vtype}")))
-            return self._arith(a, b, lambda x, y: x + y, err)
+            ta, tb = a.vtype, b.vtype
+            # op.rs Add: Bytes+Bytes concat; Bytes absorbs a null side
+            # (corpus addition/{null_string,string_null}); numeric adds;
+            # every other pairing is the typed runtime error below
+            if ta == "string" and tb == "string":
+                return V(F.concat(_mat(a), _mat(b)), "string", err=err)
+            if ta == "string" and tb == "null":
+                return V(_mat(a), "string", err=err)
+            if ta == "null" and tb == "string":
+                return V(_mat(b), "string", err=err)
+            if "any" in (ta, tb) and "string" in (ta, tb):
+                return V(F.concat(_mat(a).cast("string"), _mat(b).cast("string")),
+                         "string", err=err)
+            return self._num_op(
+                a, b, lambda x, y: x + y, err,
+                f'can\'t add type "{_VRL_TYPE[tb]}" to "{_VRL_TYPE[ta]}"')
         if op == "-":
-            return self._arith(a, b, lambda x, y: x - y, err)
+            return self._num_op(
+                a, b, lambda x, y: x - y, err,
+                f'can\'t subtract type "{_VRL_TYPE[b.vtype]}" from '
+                f'"{_VRL_TYPE[a.vtype]}"')
         if op == "*":
-            return self._arith(a, b, lambda x, y: x * y, err)
+            # int * string repeats the string (op.rs Mul on Bytes;
+            # corpus multiplication/{integer_string,string_integer})
+            if {"string", "int"} == {a.vtype, b.vtype}:
+                s, n = (a, b) if a.vtype == "string" else (b, a)
+                return V(F.repeat(_mat(s), _mat(n).cast("int")), "string", err=err)
+            return self._num_op(
+                a, b, lambda x, y: x * y, err,
+                f'can\'t multiply type "{_VRL_TYPE[a.vtype]}" by '
+                f'"{_VRL_TYPE[b.vtype]}"')
         if op == "%":
-            return self._arith(a, b, lambda x, y: x % y, err)
+            return self._num_op(
+                a, b, lambda x, y: x % y, err,
+                f'can\'t calculate remainder of type "{_VRL_TYPE[a.vtype]}" '
+                f'and "{_VRL_TYPE[b.vtype]}"')
         if op == "/":
+            # VRL division always yields a float and stays FALLIBLE even
+            # with constant operands (corpus division/integer.vrl runs
+            # `5 / 2 ?? 0`); message pinned by infallible_err_return_value
+            if a.vtype not in _NUMERIC or b.vtype not in _NUMERIC:
+                msg = (f'can\'t divide type "{_VRL_TYPE[a.vtype]}" by '
+                       f'"{_VRL_TYPE[b.vtype]}"')
+                return V(F.lit(None), "any", err_always=err is None,
+                         err=_combine_err(err, F.lit(msg)))
+            if (err is None and a.has_const and b.has_const
+                    and isinstance(a.const, (int, float))
+                    and isinstance(b.const, (int, float))):
+                if float(b.const) == 0.0:
+                    return V(F.lit(None).cast("double"), "float",
+                             err=F.lit("can't divide by zero"), err_always=True)
+                return V(F.lit(float(a.const) / float(b.const)), "float",
+                         const=float(a.const) / float(b.const), has_const=True,
+                         err=F.lit(None).cast("string"))
             ca = _mat(a).cast("double")
             cb = _mat(b).cast("double")
-            div_err = F.when(F.coalesce(cb, F.lit(0.0)) == 0.0, F.lit("division by zero"))
+            div_err = F.when(F.coalesce(cb, F.lit(0.0)) == 0.0,
+                             F.lit("can't divide by zero"))
             return V(
                 F.when(cb != 0.0, ca / cb), "float",
                 err=_combine_err(err, div_err),
             )
         if op == "|":  # object merge operator
+            for side in (a, b):
+                if side.vtype not in ("object", "any") and side.fields is None:
+                    raise VrlCompileError("only objects can be merged")
             return _fn_merge(self, {"to": a, "from": b},
                              P.Call("merge", (), False, 0, 0))
         raise VrlCompileError(f"unknown operator {op}")
 
-    def _arith(self, a: V, b: V, fn, err) -> V:
+    def _num_op(self, a: V, b: V, fn, err, msg: str) -> V:
         if a.vtype not in _NUMERIC or b.vtype not in _NUMERIC:
-            return V(F.lit(None), "any",
-                     err=_combine_err(err, F.lit(
-                         f"unable to compute {a.vtype} with {b.vtype}")))
-        vt = _unify(a.vtype if a.vtype != "null" else "int",
-                    b.vtype if b.vtype != "null" else "int")
+            return V(F.lit(None), "any", err_always=err is None,
+                     err=_combine_err(err, F.lit(msg)))
+        if (err is None and a.has_const and b.has_const
+                and isinstance(a.const, (int, float))
+                and not isinstance(a.const, bool)
+                and isinstance(b.const, (int, float))
+                and not isinstance(b.const, bool)):
+            try:
+                return _from_python(fn(a.const, b.const))
+            except ZeroDivisionError:
+                return V(F.lit(None), "float",
+                         err=F.lit("can't divide by zero"), err_always=True)
+        vt = _unify(a.vtype, b.vtype)
         if vt not in ("int", "float"):
-            vt = "float"
+            vt = "float" if "any" not in (a.vtype, b.vtype) else "any"
         return V(fn(_mat(a), _mat(b)), vt, err=err)
 
     # ---- calls
@@ -1537,7 +1758,25 @@ class _Compiler:
             elif arg_name not in params:
                 raise VrlCompileError(f"unknown argument {arg_name!r} for {name}()")
             args[arg_name] = self.expr(arg_expr)
-        return builder(self, args, call)
+        out = builder(self, args, call)
+        if call.bang:
+            if out.err is None:
+                # only flag functions that are infallible in the
+                # REFERENCE signature too — our model often proves a
+                # call infallible (const folding) where the reference
+                # keeps it fallible
+                if self.strict and name in ("now", "uuid_v4", "get_hostname"):
+                    raise VrlCompileError(
+                        f"error[E620]: can't abort infallible function — "
+                        f"{name}() can't fail, remove the `!`")
+            else:
+                # fn!(): abort-on-error — the error is considered handled
+                # at compile time and terminates the program at runtime
+                out = V(out.col, out.vtype, err=out.err, fields=out.fields,
+                        items=out.items, const=out.const,
+                        has_const=out.has_const, checked=True,
+                        err_always=out.err_always)
+        return out
 
     def _exists(self, call: P.Call) -> V:
         if len(call.args) != 1 or not isinstance(call.args[0][1], P.Path):
@@ -1576,65 +1815,166 @@ class _Compiler:
         if len(segs) == 1 and isinstance(segs[0], str):
             self.root.pop(segs[0], None)
             self.deleted.add(segs[0])
+        elif isinstance(segs[-1], int):
+            # deleting an array element REMOVES it, shifting the tail
+            # down (del.rs; pinned by issues/8068_del_type_def)
+            parent = self._get_path(segs[:-1])
+            if parent.items is None:
+                raise VrlCompileError(
+                    "del() on an array index needs known elements in the "
+                    "compile-to-Column model")
+            idx = segs[-1]
+            if idx < 0:
+                idx = (max(parent.items) + 1 if parent.items else 0) + idx
+            shifted = {(i if i < idx else i - 1): it
+                       for i, it in parent.items.items() if i != idx}
+            self._set_path(tuple(segs[:-1]),
+                           V(None, "array", items=shifted), None)
         else:
             self._set_path(segs, _null(), None)
         return old
 
     # ---- statements
     def stmt(self, s, cond: Column | None):
+        self.stmt_value(s, cond)
+
+    def stmt_value(self, s, cond: Column | None) -> V:
+        """Run a statement and return its VALUE — in VRL every statement
+        is an expression (parser.lalrlop RootExpr): an assignment
+        resolves to the assigned value (assignment.rs resolve), an `if`
+        to the taken branch's final statement value, `abort` to null."""
+        prev_cond = self._cur_cond
+        self._cur_cond = cond
+        try:
+            return self._stmt_value_inner(s, cond)
+        finally:
+            self._cur_cond = prev_cond
+
+    def _stmt_value_inner(self, s, cond: Column | None) -> V:
+        if self.aborted_const:
+            # statements after an unconditional abort are dead code
+            # (expression/abort.rs terminates resolution)
+            return _null()
         if isinstance(s, P.Abort):
             self.can_abort = True
+            if cond is None:
+                self.aborted_const = True
             self.abort_flag = self.abort_flag | (cond if cond is not None else F.lit(True))
-            return
+            return _null()
         if isinstance(s, P.If):
-            not_prior = None
-            for c_expr, block in s.clauses:
-                cv = self.expr(c_expr)
-                if cv.err is not None:
-                    self._raise_err(cv.err, cond)
-                ccol = F.coalesce(_mat(cv), F.lit(False))
-                branch = ccol if not_prior is None else (not_prior & ccol)
-                full = branch if cond is None else (cond & branch)
-                for st in block:
-                    self.stmt(st, full)
-                not_prior = (~ccol) if not_prior is None else (not_prior & ~ccol)
-            if s.otherwise is not None:
-                full = not_prior if cond is None else (cond & not_prior)
-                for st in s.otherwise:
-                    self.stmt(st, full)
-            return
+            return self._if_stmt_value(s, cond)
         if isinstance(s, P.Assign):
-            self._assign(s, cond)
-            return
+            return self._assign(s, cond)
         # bare expression statement: evaluate for errors (e.g. assert(), abort-able calls)
         v = self.expr(s)
-        if v.err is not None:
+        if v.err is not None and not v.checked:
+            if self.strict:
+                raise VrlCompileError(
+                    "error[E100]: unhandled error — expression can result "
+                    "in runtime error; handle the error case")
             self._raise_err(v.err, cond)
+        elif v.err is not None:
+            self._raise_err(v.err, cond)
+        return v
+
+    def _if_stmt_value(self, s: P.If, cond: Column | None) -> V:
+        not_prior = None
+        branch_vals: list[tuple[Column, V]] = []
+        for c_expr, block in s.clauses:
+            cv = self.expr(c_expr)
+            self._check_condition(cv, cond)
+            ccol = F.coalesce(_mat(cv), F.lit(False))
+            branch = ccol if not_prior is None else (not_prior & ccol)
+            full = branch if cond is None else (cond & branch)
+            bv = _null()
+            for st in block:
+                bv = self.stmt_value(st, full)
+            branch_vals.append((branch, bv))
+            not_prior = (~ccol) if not_prior is None else (not_prior & ~ccol)
+        if s.otherwise is not None:
+            full = not_prior if cond is None else (cond & not_prior)
+            bv = _null()
+            for st in s.otherwise:
+                bv = self.stmt_value(st, full)
+            branch_vals.append((not_prior, bv))
+        vt = "null"
+        for _, bv in branch_vals:
+            vt = _unify(vt, bv.vtype)
+        result = F.lit(None)
+        for gate, bv in reversed(branch_vals):
+            result = F.when(gate, _mat(bv)).otherwise(result)
+        return V(result, vt)
+
+    def _check_condition(self, cv: V, cond: Column | None):
+        if cv.err is not None and not cv.checked:
+            if self.strict:
+                raise VrlCompileError(
+                    "error[E100]: unhandled error — if-condition can "
+                    "result in runtime error")
+            self._raise_err(cv.err, cond)
+        elif cv.err is not None:
+            self._raise_err(cv.err, cond)
+        if self.strict and cv.vtype not in ("bool",):
+            raise VrlCompileError(
+                "error[E301]: if-statement predicate must be a boolean "
+                f"expression, got {cv.vtype}")
 
     def _raise_err(self, err: Column, cond: Column | None):
         self.can_fail = True
         raised = err.isNotNull()
         if cond is not None:
             raised = cond & raised
-        self.err_flag = self.err_flag | F.coalesce(raised, F.lit(False))
+        raised = F.coalesce(raised, F.lit(False))
+        self.err_flag = self.err_flag | raised
+        # first-raised message wins (resolve() terminates on first error)
+        self.err_msg = F.coalesce(self.err_msg, F.when(raised, err))
 
-    def _assign(self, s: P.Assign, cond: Column | None):
+    def _assign(self, s: P.Assign, cond: Column | None) -> V:
         value = self.expr(s.expr)
         if s.err_target is not None:
+            if (self.strict and value.err is None
+                    and isinstance(s.expr, (P.Lit, P.Arr, P.Obj))):
+                raise VrlCompileError(
+                    "error[E104]: unnecessary error assignment — "
+                    "right-hand side is infallible")
             errcol = value.err if value.err is not None else F.lit(None).cast("string")
-            if value.err is not None:
+            if value.err is not None and value.fields is not None:
+                # keep per-field assignability: gate each field on the
+                # error channel instead of collapsing to one column
+                ok = V(None, "object", fields={
+                    k: V(F.when(errcol.isNull(), _mat(f)), f.vtype)
+                    for k, f in value.fields.items()})
+            elif value.err is not None:
                 okcol = F.when(value.err.isNull(), _mat(value)).otherwise(_zero(value.vtype))
                 ok = V(okcol, value.vtype)
             else:
                 ok = V(_mat(value), value.vtype) if (value.fields or value.items) is None else value
             self._assign_target(s.target, ok, cond)
             self._assign_target(s.err_target, V(errcol, "string"), cond)
-            return
+            # the assignment expression resolves to the ok value, or to
+            # the error string when it fired (assignment.rs
+            # Variant::Infallible resolve — pinned by the corpus
+            # infallible_{ok,err}_return_value fixtures)
+            if value.err is None:
+                return ok
+            if value.err_always:
+                return V(errcol, "string")
+            if ok.vtype == "string":
+                return V(F.when(errcol.isNull(), _mat(ok)).otherwise(errcol), "string")
+            # heterogeneous ok/err value: string-encode (documented
+            # divergence of the single-Column model)
+            return V(F.when(errcol.isNull(), _mat(ok).cast("string")).otherwise(errcol),
+                     "any")
+        if value.err is not None and not value.checked and self.strict:
+            raise VrlCompileError(
+                "error[E103]: unhandled fallible assignment — handle the "
+                "error case (ok/err capture, ??, or !)")
         if value.err is not None:
             self._raise_err(value.err, cond)
             value = V(_mat(value), value.vtype) if value.fields is None and value.items is None \
                 else value
         self._assign_target(s.target, value, cond)
+        return value
 
     def _assign_target(self, target, value: V, cond: Column | None):
         if isinstance(target, P.Var):
@@ -1649,6 +1989,22 @@ class _Compiler:
                 self._assign_root(value, cond)
                 return
             self._set_path(target.segments, value, cond)
+            return
+        if isinstance(target, P.Member) and isinstance(target.base, P.Var):
+            # `foo.bar = 5` / `lines[0] = ""` — a path INTO a variable
+            # (issues/6319; query/mixed_case)
+            name = target.base.name
+            cur = self.vars.get(name)
+            if cur is None:
+                kind = "array" if isinstance(target.segments[0], int) else "object"
+                cur = V(None, kind, fields={} if kind == "object" else None,
+                        items={} if kind == "array" else None)
+            if cond is not None:
+                old = _walk_v(cur, target.segments)
+                value = V(F.when(cond, _mat(value)).otherwise(_mat(old)),
+                          _unify(value.vtype, old.vtype))
+            self.vars[name] = _set_in(cur, target.segments,
+                                      value, P.Call("set", (), False, 0, 0))
             return
         raise VrlCompileError(f"bad assignment target {target!r}")
 
@@ -1674,22 +2030,27 @@ class _Compiler:
         self.root = {"message": value}
         self.deleted = set()
 
+    def _live(self) -> Column | None:
+        """Gate for the next statement: rows that already aborted stop
+        executing (abort terminates the program — expression/abort.rs)."""
+        if not self.can_abort:
+            return None
+        return ~F.coalesce(self.abort_flag, F.lit(False))
+
     def run(self, prog: P.Program):
         for s in prog.stmts:
-            self.stmt(s, None)
+            self.stmt(s, self._live())
 
     def last_value(self, prog: P.Program) -> V:
-        """Compile a condition program: run all statements, value = the
-        final expression (src/conditions/vrl.rs resolves the same way)."""
+        """Run the program; value = the final statement's value (the
+        runtime's resolve() return — conditions read it the same way,
+        src/conditions/vrl.rs)."""
         if not prog.stmts:
             raise VrlCompileError("empty VRL condition")
-        *init, last = prog.stmts
-        for s in init:
-            self.stmt(s, None)
-        if isinstance(last, (P.Assign, P.If, P.Abort)):
-            self.stmt(last, None)
-            return V(F.lit(True), "bool")
-        return self.expr(last)
+        v = _null()
+        for s in prog.stmts:
+            v = self.stmt_value(s, self._live())
+        return v
 
 
 # ------------------------------------------------------- public API

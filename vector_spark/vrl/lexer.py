@@ -31,7 +31,7 @@ class Token:
 
 # longest-match-first operator table
 _OPS = [
-    "??", "==", "!=", "<=", ">=", "&&", "||",
+    "??", "==", "!=", "<=", ">=", "&&", "||", "|=",
     "=", "<", ">", "+", "-", "*", "/", "%",
     "(", ")", "[", "]", "{", "}", ",", ":", ";", "!", "|",
 ]
@@ -121,7 +121,7 @@ def tokenize(src: str) -> list[Token]:
             if j < n and src[j] == "." and j + 1 < n and src[j + 1].isdigit():
                 is_float = True
                 j += 1
-                while j < n and src[j].isdigit():
+                while j < n and (src[j].isdigit() or src[j] == "_"):
                     j += 1
             if j < n and src[j] in "eE":
                 k = j + 1
@@ -130,7 +130,7 @@ def tokenize(src: str) -> list[Token]:
                 if k < n and src[k].isdigit():
                     is_float = True
                     j = k
-                    while j < n and src[j].isdigit():
+                    while j < n and (src[j].isdigit() or src[j] == "_"):
                         j += 1
             text = src[start:j].replace("_", "")
             toks.append(

@@ -38,8 +38,24 @@ class Obj:
 
 
 @dataclass(frozen=True)
+class Alt:
+    """A coalesced path segment `.(foo | bar)` — the first side that
+    resolves wins (parser.lalrpop PathSegment::Coalesce)."""
+
+    options: tuple  # str alternatives
+
+
+@dataclass(frozen=True)
+class Block:
+    """A block/group in expression position: statements run in order,
+    the value is the last statement's value (ast.rs Block)."""
+
+    stmts: tuple
+
+
+@dataclass(frozen=True)
 class Path:
-    segments: tuple  # str | int; () == the event root "."
+    segments: tuple  # str | int | Alt; () == the event root "."
 
 
 @dataclass(frozen=True)
@@ -197,25 +213,40 @@ class _Parser:
                 self.next()
                 self.skip_nl()
                 err_tgt = self._parse_target()
-            if not self.at_op("="):
+            if not (self.at_op("=") or self.at_op("|=")):
                 return None
-            self.next()
+            op = self.next().value
             self.skip_nl()
             expr = self.parse_expr()
+            if op == "|=":
+                # `tgt |= expr` desugars to `tgt = tgt | expr`
+                # (parser.lalrpop AssignmentOp::Merge)
+                expr = Bin("|", self._target_as_expr(tgt), expr)
             return Assign(tgt, err_tgt, expr)
         except VrlSyntaxError:
             return None
+
+    @staticmethod
+    def _target_as_expr(tgt):
+        if isinstance(tgt, Member):
+            return tgt
+        return tgt  # Path and Var are already valid expressions
 
     def _parse_target(self):
         t = self.peek()
         if t.kind == "DOT":
             return self._parse_path()
         if t.kind == "IDENT" and t.value not in ("if", "else", "true", "false", "null", "abort"):
-            # plain variable target (no calls/paths on variables as targets)
             nxt = self.peek(1)
-            if nxt.kind == "OP" and nxt.value in (",", "="):
+            if nxt.kind == "OP" and nxt.value in (",", "=", "|="):
                 self.next()
                 return Var(t.value)
+            # variable target with a path: `foo.bar = 5`, `lines[0] = ""`
+            if (nxt.kind == "DOT") or (nxt.kind == "OP" and nxt.value == "["):
+                self.next()
+                segs = self._path_segments(allow_leading=False)
+                if segs and (self.at_op("=") or self.at_op("|=") or self.at_op(",")):
+                    return Member(Var(t.value), tuple(segs))
         raise VrlSyntaxError("not a target", t.pos, self.src)
 
     def parse_if(self) -> If:
@@ -268,13 +299,18 @@ class _Parser:
         return self._bin_level(self._cmp, ("==", "!="))
 
     def _cmp(self):
-        return self._bin_level(self._add, ("<", ">", "<=", ">="))
+        return self._bin_level(self._merge, ("<", ">", "<=", ">="))
+
+    def _merge(self):
+        # `|` (object merge) sits between comparison and additive in the
+        # reference grammar (parser.lalrpop:309-317: Compare → Merge → Add)
+        return self._bin_level(self._add, ("|",))
 
     def _add(self):
         return self._bin_level(self._mul, ("+", "-"))
 
     def _mul(self):
-        return self._bin_level(self._unary, ("*", "/", "%", "|"))
+        return self._bin_level(self._unary, ("*", "/", "%"))
 
     def _unary(self):
         if self.at_op("!"):
@@ -288,39 +324,106 @@ class _Parser:
     def _postfix(self):
         e = self._primary()
         # path query on an arbitrary expression result: f(x).foo[0]
-        segs: list = []
-        while True:
-            if self.peek().kind == "DOT" and self.peek(1).kind in ("IDENT", "STRING"):
-                self.next()
-                segs.append(self.next().value)
-            elif self.at_op("[") and self.peek(1).kind == "INT" and not isinstance(e, (Path,)):
-                self.next()
-                segs.append(int(self.next().value))
-                self.expect_op("]")
-            else:
-                break
+        start = self.i
+        if isinstance(e, Path):
+            return e
+        segs = self._path_segments(allow_leading=False, index_ok=True)
         if segs:
+            if isinstance(e, Lit):
+                # querying a scalar literal is a parse error in the
+                # reference grammar (query/scalar.vrl: 16 syntax errors)
+                raise VrlSyntaxError(
+                    "syntax error: can't query a scalar literal",
+                    self.toks[start].pos, self.src)
             return Member(e, tuple(segs))
         return e
 
+    def _field_segment(self) -> str:
+        """One field-name segment after a DOT. Handles quoted segments
+        and names the lexer split (digit-led like `0tar`, adjacent
+        INT+IDENT tokens rejoin via source offsets)."""
+        t = self.peek()
+        if t.kind == "STRING":
+            return self.next().value
+        if t.kind in ("IDENT", "INT", "FLOAT"):
+            start = self.next()
+            end = start.end
+            # greedily absorb tokens glued to this one (no whitespace)
+            while self.peek().kind in ("IDENT", "INT") and self.peek().pos == end:
+                end = self.next().end
+            return self.src[start.pos:end]
+        raise VrlSyntaxError("expected path segment", t.pos, self.src)
+
+    def _bracket_index(self) -> int:
+        """`[n]` / `[-n]` array index (negatives count from the end,
+        issues/5546)."""
+        self.expect_op("[")
+        neg = False
+        if self.at_op("-"):
+            self.next()
+            neg = True
+        t = self.peek()
+        if t.kind != "INT":
+            raise VrlSyntaxError("expected integer index", t.pos, self.src)
+        self.next()
+        self.expect_op("]")
+        return -int(t.value) if neg else int(t.value)
+
+    def _path_segments(self, allow_leading: bool, index_ok: bool = True) -> list:
+        """Read `.seg`, `[idx]`, and `.(a | b)` coalesce segments.
+        With allow_leading, the first segment may start without a DOT
+        (variable paths: `foo.bar`, `lines[0]`)."""
+        segs: list = []
+        first = allow_leading
+        while True:
+            if self.peek().kind == "DOT":
+                nxt = self.peek(1)
+                if nxt.kind in ("IDENT", "STRING", "INT", "FLOAT"):
+                    self.next()
+                    segs.append(self._field_segment())
+                    continue
+                if nxt.kind == "OP" and nxt.value == "(":
+                    self.next()
+                    segs.append(self._coalesce_group())
+                    continue
+                break
+            if first and self.peek().kind in ("IDENT", "STRING"):
+                segs.append(self._field_segment())
+                first = False
+                continue
+            if index_ok and self.at_op("[") and (
+                self.peek(1).kind == "INT"
+                or (self.peek(1).kind == "OP" and self.peek(1).value == "-"
+                    and self.peek(2).kind == "INT")
+            ):
+                segs.append(self._bracket_index())
+                continue
+            break
+        return segs
+
+    def _coalesce_group(self) -> Alt:
+        self.expect_op("(")
+        opts = [self._field_segment()]
+        while self.at_op("|"):
+            self.next()
+            self.skip_nl()
+            opts.append(self._field_segment())
+        self.expect_op(")")
+        return Alt(tuple(opts))
+
     def _parse_path(self) -> Path:
         self.next()  # consume leading DOT
-        segs: list = []
         t = self.peek()
-        if t.kind in ("IDENT", "STRING"):
-            segs.append(self.next().value)
-        else:
+        if t.kind not in ("IDENT", "STRING", "INT", "FLOAT") and not (
+            t.kind == "OP" and t.value == "("
+        ):
             return Path(())  # bare `.` — the event root
-        while True:
-            if self.peek().kind == "DOT" and self.peek(1).kind in ("IDENT", "STRING"):
-                self.next()
-                segs.append(self.next().value)
-            elif self.at_op("[") and self.peek(1).kind == "INT":
-                self.next()
-                segs.append(int(self.next().value))
-                self.expect_op("]")
-            else:
-                break
+        segs: list = []
+        if t.kind == "OP":  # leading coalesce: .(a | b)
+            segs.append(self._coalesce_group())
+        else:
+            segs.append(self._field_segment())
+        segs.extend(self._path_segments(allow_leading=False))
         return Path(tuple(segs))
 
     def _primary(self):
@@ -362,17 +465,50 @@ class _Parser:
             self.next()
             return Var(word)
         if self.at_op("("):
+            # a group may hold a whole statement sequence whose value is
+            # the last statement: `(ok, err = f(.x); err == null)`
             self.next()
             self.skip_nl()
-            e = self.parse_expr()
+            stmts = [self.parse_stmt()]
+            multi = False
+            while True:
+                self.skip_nl()
+                if self.at_op(";"):
+                    multi = True
+                    self.next()
+                    self.skip_nl()
+                    if self.at_op(")"):
+                        break
+                    stmts.append(self.parse_stmt())
+                    continue
+                break
             self.skip_nl()
             self.expect_op(")")
-            return e
+            if not multi and not isinstance(stmts[0], (Assign, If, Abort)):
+                return stmts[0]
+            return Block(tuple(stmts))
         if self.at_op("["):
             return self._parse_array()
         if self.at_op("{"):
-            return self._parse_object()
+            if self._looks_like_object():
+                return self._parse_object()
+            return Block(tuple(self.parse_block()))
         raise VrlSyntaxError(f"unexpected token {t.value!r}", t.pos, self.src)
+
+    def _looks_like_object(self) -> bool:
+        """`{` opens an object literal iff the first token pair is
+        `key:` (or the braces are empty); otherwise it's a block
+        (ast.rs Container::{Object,Block})."""
+        k = 1
+        while self.peek(k).kind == "NEWLINE":
+            k += 1
+        t = self.peek(k)
+        if t.kind == "OP" and t.value == "}":
+            return True
+        if t.kind in ("STRING", "IDENT"):
+            nxt = self.peek(k + 1)
+            return nxt.kind == "OP" and nxt.value == ":"
+        return False
 
     def _parse_call(self) -> Call:
         name_tok = self.next()
