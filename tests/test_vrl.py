@@ -262,7 +262,7 @@ def test_whole_program_stays_in_codegen(spark):
 
 def test_unknown_function_is_named_compile_error(spark):
     df = spark.createDataFrame([{"m": ""}])
-    with pytest.raises(Exception, match="not wired"):
+    with pytest.raises(Exception, match=r"error\[E105\].*undefined function"):
         compile_program('.x = definitely_not_a_function(.m)').apply(df)
 
 

@@ -149,12 +149,19 @@ def _canon_ts(s: str) -> str:
 
 
 _ECODE = re.compile(r"error\[E\d+\]")
+_ECODE_LINE = re.compile(r"^\s*error\[E\d+\]", re.MULTILINE)
 
 
-def error_codes(text: str) -> list[str]:
-    """compare_partial_diagnostic (main.rs:302-306) keys on the
-    error[E###] lines only."""
-    return _ECODE.findall(text)
+def error_codes(text: str) -> set[str]:
+    """All error[E###] codes anywhere in the text (used for the
+    non-approx error-code tier)."""
+    return set(_ECODE.findall(text))
+
+
+def anchored_codes(text: str) -> list[str]:
+    """compare_partial_diagnostic (main.rs:302-306): only lines that
+    START with error[E count for `result: ~` comparisons."""
+    return [m.strip() for m in _ECODE_LINE.findall(text)]
 
 
 # ------------------------------------------------------------- running
@@ -267,7 +274,8 @@ def run_fixture(spark, fx: Fixture, strict: bool = True) -> dict:
         got = str(exc)
         if want_kind == "text":
             if fx.approx:
-                if error_codes(got) == error_codes(want):
+                # mirror compare_partial_diagnostic: line-anchored codes
+                if anchored_codes(got) == anchored_codes(want):
                     return {"status": "error_code_match", "got": got}
                 return {"status": "error_code_mismatch", "got": got, "want": want}
             if got.strip() == want.strip():
@@ -344,6 +352,10 @@ def run_fixture(spark, fx: Fixture, strict: bool = True) -> dict:
     if want_kind == "value" and _values_equal(got, want):
         return {"status": "value_match", "got": got}
     if want_kind == "text":
+        # an unquoted, non-JSON expectation is still a STRING VALUE when
+        # the program resolves (test.rs falls back to Value::String)
+        if isinstance(got, str) and got.strip() == want.strip():
+            return {"status": "value_match", "got": got}
         return {"status": "error_expected_but_value", "got": got, "want": want}
     return {"status": "mismatch", "got": got, "want": want}
 
@@ -364,8 +376,15 @@ def _values_equal(got, want) -> bool:
         return isinstance(got, float) and (
             got == want or (math.isnan(got) and math.isnan(want)))
     if isinstance(want, dict):
-        return (isinstance(got, dict) and set(got) == set(want)
-                and all(_values_equal(got[k], want[k]) for k in want))
+        if not isinstance(got, dict):
+            return False
+        # nulls-as-absent: a fixed-schema column can't vanish per row
+        # (SURVEY §1.3 documented divergence), so a null-valued key on
+        # our side matches an absent key in the expectation
+        extra = {k for k in got if k not in want}
+        if any(got[k] is not None for k in extra):
+            return False
+        return all(k in got and _values_equal(got[k], want[k]) for k in want)
     if isinstance(want, list):
         return (isinstance(got, list) and len(got) == len(want)
                 and all(_values_equal(g, w) for g, w in zip(got, want)))

@@ -55,8 +55,11 @@ def parse_regex(col: Column, pattern: str, groups: dict[str, int]) -> dict[str, 
 
 
 def parse_regex_all(col: Column, pattern: str, group: int = 0) -> Column:
-    """VRL parse_regex_all → array of all matches of one group."""
-    return F.regexp_extract_all(col, F.lit(pattern), F.lit(group))
+    """VRL parse_regex_all → array of all matches of one group.
+    Rust/Python `(?P<n>...)` named groups are rewritten to Java's
+    `(?<n>...)` — Spark's regexp_* run java.util.regex."""
+    return F.regexp_extract_all(col, F.lit(pattern.replace("(?P<", "(?<")),
+                                F.lit(group))
 
 
 def parse_grok(col: Column, pattern: str, patterns: dict[str, str] | None = None) -> dict[str, Column]:
@@ -100,8 +103,12 @@ def parse_csv(col: Column, schema: str, sep: str = ",") -> Column:
 def parse_tokens(col: Column) -> Column:
     """VRL parse_tokens / the tokenizer transform's quote-aware splitter
     (lib/shared/src/tokenize.rs): tokens are quoted strings, bracketed
-    groups, or runs of non-space. '-' means null downstream."""
-    return F.regexp_extract_all(col, F.lit(r'"[^"]*"|\[[^\]]*\]|\S+'), F.lit(0))
+    groups, or runs of non-space; the QUOTES/BRACKETS are stripped from
+    the token (tokenize.rs `delimited(tag(..), inner, tag(..))`).
+    '-' means null downstream."""
+    toks = F.regexp_extract_all(col, F.lit(r'"[^"]*"|\[[^\]]*\]|\S+'), F.lit(0))
+    return F.transform(
+        toks, lambda t: F.regexp_replace(t, r'^"(.*)"$|^\[(.*)\]$', r"$1$2"))
 
 
 # ---------------------------------------------------------------- timestamps / numbers / urls
@@ -173,7 +180,10 @@ APACHE_COMMON_GROK = (
 
 SYSLOG_3164_GROK = (
     "(?:<%{NONNEGINT:priority}>)?%{SYSLOGTIMESTAMP:timestamp} %{IPORHOST:hostname} "
-    "%{SYSLOGPROG:appname}: %{GREEDYDATA:message}"
+    # appname/pid split like the reference's 3164 parser; the colon may
+    # be followed by no space (`root[8539]:msg` — VRL corpus
+    # successful_parse_syslog_type)
+    "%{PROG:appname}(?:\\[%{POSINT:procid}\\])?:\\s?%{GREEDYDATA:message}"
 )
 
 SYSLOG_5424_GROK = (
@@ -207,6 +217,7 @@ SYSLOG_COMBINED_GROK = (
     .replace(":timestamp", ":timestamp3")
     .replace(":hostname", ":hostname3")
     .replace(":appname", ":appname3")
+    .replace(":procid", ":procid3")
     .replace(":message", ":message3")
     + ")"
 )
@@ -222,8 +233,9 @@ def parse_syslog(col: Column) -> dict[str, Column]:
         k: F.coalesce(g[k + "5"], g[k + "3"])
         for k in ("priority", "timestamp", "hostname", "appname", "message")
     }
-    for k in ("version", "procid", "msgid"):
+    for k in ("version", "msgid"):
         out[k] = g[k]
+    out["procid"] = F.coalesce(g["procid"], g["procid3"])
     return out
 
 

@@ -105,10 +105,11 @@ class V:
     and an optional Python constant."""
 
     __slots__ = ("col", "vtype", "err", "fields", "items", "const", "has_const",
-                 "checked", "err_always")
+                 "checked", "err_always", "err_never")
 
     def __init__(self, col=None, vtype="any", err=None, fields=None, items=None,
-                 const=None, has_const=False, checked=False, err_always=False):
+                 const=None, has_const=False, checked=False, err_always=False,
+                 err_never=False):
         self.col = col
         self.vtype = vtype
         self.err = err  # Column[string] (null = ok) | None = infallible
@@ -123,6 +124,9 @@ class V:
         # err_always=True: the error fires unconditionally (known at
         # compile time, e.g. a constant-folded `1 / 0`)
         self.err_always = err_always
+        # err_never=True: the channel exists for type-level fallibility
+        # but is known never to fire (constant-folded parse_json etc.)
+        self.err_never = err_never
 
     def infallible(self) -> bool:
         return self.err is None
@@ -257,8 +261,11 @@ def _fn_to_string(c, args, call):
     v = args["value"]
     t = v.vtype
     if t in ("object", "array") and (v.fields is not None or v.items is not None or t == "object"):
-        # VRL: to_string on collections errors
-        return V(F.lit(""), "string", err=_call_err(call, "unable to coerce object into string"))
+        # VRL: to_string on collections errors (message format pinned by
+        # diagnostics/program_aborted_invalid_argument_type)
+        return V(F.lit(""), "string", err_always=v.err is None,
+                 err=_combine_err(v.err, _call_err(
+                     call, f'unable to coerce "{_VRL_TYPE[t]}" into "string"')))
     col = _mat(v)
     if t == "bool":
         out = F.when(col, F.lit("true")).otherwise(F.lit("false"))
@@ -282,6 +289,13 @@ def _fn_to_int(c, args, call):
     else:
         out = col.cast("string").try_cast("double").cast("long") if v.vtype in ("string", "any") \
             else col.cast("long")
+    if v.vtype in ("int", "float", "bool", "timestamp"):
+        # infallible conversions (to_int.rs type_def)
+        return V(out, "int", err=v.err)
+    if v.vtype == "null":
+        return V(F.lit(None).cast("long"), "int", err_always=v.err is None,
+                 err=_combine_err(v.err, _call_err(
+                     call, 'unable to coerce "null" into "integer"')))
     err = _combine_err(v.err, _coerce_err(call, args, out, "int"))
     return V(out, "int", err=err)
 
@@ -290,6 +304,13 @@ def _fn_to_float(c, args, call):
     v = args["value"]
     col = _mat(v)
     out = col.try_cast("double") if v.vtype in ("string", "any") else col.cast("double")
+    if v.vtype in ("int", "float", "bool", "timestamp"):
+        # infallible conversions (to_float.rs type_def)
+        return V(out, "float", err=v.err)
+    if v.vtype == "null":
+        return V(F.lit(None).cast("double"), "float", err_always=v.err is None,
+                 err=_combine_err(v.err, _call_err(
+                     call, 'unable to coerce "null" into "float"')))
     return V(out, "float", err=_combine_err(v.err, _coerce_err(call, args, out, "float")))
 
 
@@ -315,7 +336,16 @@ def _fn_to_timestamp(c, args, call):
     elif v.vtype == "timestamp":
         out = col
     else:
-        out = F.to_timestamp(col.cast("string"))
+        # the reference's Conversion::Timestamp tries a format battery;
+        # cover ISO-8601 and (bracketed) CLF — try_to_timestamp so an
+        # unparseable value errs through the VRL channel, never ANSI
+        s = col.cast("string")
+        stripped = F.regexp_replace(s, r"^\[|\]$", "")
+        out = F.coalesce(
+            F.try_to_timestamp(s),
+            F.try_to_timestamp(stripped, F.lit("dd/MMM/yyyy:HH:mm:ss Z")),
+            F.try_to_timestamp(stripped, F.lit("dd/MMM/yyyy:HH:mm:ss XXX")),
+        )
     return V(out, "timestamp",
              err=_combine_err(v.err, _coerce_err(call, args, out, "timestamp")))
 
@@ -328,7 +358,10 @@ def _assert_type(expected: str):
             return V(v.col, v.vtype, err=_combine_err(v.err, err),
                      fields=v.fields, items=v.items, const=v.const, has_const=v.has_const)
         if v.vtype == "any":
-            return v  # dynamic: pass through
+            # dynamic pass-through, retyped as the asserted kind so
+            # downstream builders (merge/append) see the right shape
+            return V(v.col, expected, err=v.err, fields=v.fields,
+                     items=v.items, const=v.const, has_const=v.has_const)
         if expected == "float" and v.vtype == "int":
             return V(_mat(v).cast("double"), "float", err=v.err)
         if expected == "object" and v.fields is not None:
@@ -341,14 +374,31 @@ def _assert_type(expected: str):
     return build
 
 
+# Python json error phrasing → serde_json phrasing (the reference's
+# parser), for byte-matched diagnostics
+_SERDE_MSG = {
+    "Expecting property name enclosed in double quotes": "key must be a string",
+    "Expecting value": "expected value",
+    "Expecting ',' delimiter": "expected `,` or `}`",
+}
+
+
 def _fn_parse_json(c, args, call):
     v = args["value"]
     if v.has_const:  # compile-time fold (literal program text)
         try:
-            return _from_python(json.loads(v.const))
+            folded = _from_python(json.loads(v.const))
+            # the call stays fallible at the type level (the reference
+            # only sees `parse_json(<string>)`) — err never fires
+            return V(folded.col, folded.vtype, err=F.lit(None).cast("string"),
+                     fields=folded.fields, items=folded.items,
+                     const=folded.const, has_const=folded.has_const,
+                     err_never=True)
         except json.JSONDecodeError as e:
-            detail = f"unable to parse json: {e.msg} at line {e.lineno} column {e.colno}"
-            return V(F.lit(None), "any", err=_call_err(call, detail))
+            msg = _SERDE_MSG.get(e.msg, e.msg)
+            detail = f"unable to parse json: {msg} at line {e.lineno} column {e.colno}"
+            return V(F.lit(None), "any", err=_call_err(call, detail),
+                     err_always=True)
     schema = _need_const(args, "schema", call)
     col = _mat(v)
     if schema:
@@ -365,6 +415,31 @@ def _fn_parse_json(c, args, call):
     return V(out, vt, err=_combine_err(v.err, err))
 
 
+def _sha_fn(fn, default_bits: int):
+    """Map the reference's string variants (sha2.rs/sha3.rs: \"SHA-224\",
+    \"SHA3-512\", ...) onto the bit-width builders; sha3 defaults to
+    SHA3-512, sha2 to 256-bit."""
+
+    def build(col, variant=None):
+        bits = default_bits
+        if isinstance(variant, int):
+            bits = variant
+        elif isinstance(variant, str):
+            tail = variant.rsplit("-", 1)[-1]
+            if not tail.isdigit():
+                raise VrlCompileError(f"unknown hash variant {variant!r}")
+            bits = int(tail)
+        return fn(col, bits)
+
+    return build
+
+
+def _java_rx(pattern: str) -> str:
+    """Rust/Python named groups `(?P<n>...)` → Java `(?<n>...)` (Spark's
+    regexp_* run java.util.regex)."""
+    return pattern.replace("(?P<", "(?<")
+
+
 def _fn_parse_regex(c, args, call):
     pattern = _need_const(args, "pattern", call)
     col = _mat(args["value"])
@@ -372,15 +447,21 @@ def _fn_parse_regex(c, args, call):
         rx = _re.compile(pattern)
     except _re.error as e:
         raise VrlCompileError(f"bad regex in {call.name}(): {e}") from None
-    names = list(rx.groupindex)
+    jrx = _java_rx(pattern)
+    names = {n: i for n, i in rx.groupindex.items()}
+    numeric = args.get("numeric_groups")
+    if numeric is not None and numeric.has_const and numeric.const:
+        # numeric_groups: true adds "0" (full match), "1"... alongside
+        # the named captures (parse_regex.rs:27-45)
+        for i in range(rx.groups + 1):
+            names[str(i)] = i
     if not names:
         raise VrlCompileError("parse_regex needs named capture groups")
     fields = {
-        n: V(F.when(col.rlike(pattern), F.regexp_extract(col, pattern, rx.groupindex[n])),
-             "string")
-        for n in names
+        n: V(F.when(col.rlike(jrx), F.regexp_extract(col, jrx, idx)), "string")
+        for n, idx in names.items()
     }
-    err = F.when(~F.coalesce(col.rlike(pattern), F.lit(False)),
+    err = F.when(~F.coalesce(col.rlike(jrx), F.lit(False)),
                  _call_err(call, "regex did not match"))
     return V(None, "object", fields=fields, err=_combine_err(args["value"].err, err))
 
@@ -416,7 +497,7 @@ def _fn_parse_key_value(c, args, call):
         if out:
             return V(None, "object",
                      fields={k: _from_python(x) for k, x in out.items()},
-                     err=F.lit(None).cast("string"))
+                     err=F.lit(None).cast("string"), err_never=True)
         return V(None, "object", fields={}, err_always=True,
                  err=_call_err(call, "could not parse key/value pairs"))
     col = _mat(v)
@@ -449,12 +530,22 @@ def _strptime_to_spark(fmt: str) -> str:
     return out
 
 
-def _simple(fn, vtype: str, *params: str, fallible: bool = False, detail: str = "call failed"):
+def _simple(fn, vtype: str, *params: str, fallible: bool = False,
+            detail: str = "call failed", value_type: str | None = None):
     """Wrap an existing Column builder: params map positionally; consts
-    required for non-leading params (patterns, separators, sizes)."""
+    required for non-leading params (patterns, separators, sizes).
+    value_type: statically reject (as a runtime error value) a
+    mis-typed first argument instead of crashing Spark analysis."""
 
     def build(c, args, call):
         first = args[params[0]]
+        if value_type is not None and first.vtype not in (value_type, "any") \
+                and (first.fields is None and first.items is None
+                     or value_type not in ("object", "array")):
+            return V(_zero(vtype), vtype, err_always=first.err is None,
+                     err=_combine_err(first.err, _call_err(
+                         call, f'expected "{value_type}", got '
+                               f'"{_VRL_TYPE[first.vtype]}"')))
         pos_args = [_mat(first)]
         for p in params[1:]:
             if p in args:
@@ -462,6 +553,11 @@ def _simple(fn, vtype: str, *params: str, fallible: bool = False, detail: str = 
                 pos_args.append(a.const if a.has_const else _mat(a))
         out = fn(*pos_args)
         err = _combine_err(first.err)
+        if value_type is not None and first.vtype == "any" and c.strict:
+            # strict (reference) typing: a dynamically-typed argument
+            # keeps the call fallible (null/mistyped at runtime)
+            err = _combine_err(err, F.when(_mat(first).isNull(), _call_err(
+                call, f'expected "{value_type}", got "null"')))
         if fallible:
             err = _combine_err(err, F.when(out.isNull() & _mat(first).isNotNull(),
                                            _call_err(call, detail)))
@@ -500,8 +596,18 @@ def _fn_merge(c, args, call):
 def _fn_match(c, args, call):
     v = args["value"]
     p = args["pattern"]
+    if v.vtype not in ("string", "any"):
+        # match() on a non-string is a runtime error (the corpus
+        # fallible_op fixtures hinge on this being fallible)
+        return V(F.lit(None), "bool", err_always=v.err is None,
+                 err=_combine_err(v.err, _call_err(
+                     call, f'expected "string", got "{_VRL_TYPE[v.vtype]}"')))
+    verr = v.err
+    if v.vtype == "any" and c.strict:
+        verr = _combine_err(verr, F.when(_mat(v).isNull(), _call_err(
+            call, 'expected "string", got "null"')))
     if p.has_const:
-        return V(_mat(v).rlike(p.const), "bool", err=_combine_err(v.err, p.err))
+        return V(_mat(v).rlike(p.const), "bool", err=_combine_err(verr, p.err))
     if p.vtype == "regex":  # runtime regex VALUE (a to_regex product)
         from vector_spark.functions.types import regex_match
 
@@ -526,9 +632,18 @@ def _fn_slice(c, args, call):
     from vector_spark.functions.strings import slice_
 
     v = args["value"]
+    if v.vtype not in ("string", "array", "any") and v.items is None:
+        return V(F.lit(None), "any", err_always=v.err is None,
+                 err=_combine_err(v.err, _call_err(
+                     call, f'expected "string" or "array", got '
+                           f'"{_VRL_TYPE[v.vtype]}"')))
     start = _need_const(args, "start", call) or 0
     end = _need_const(args, "end", call)
-    return V(slice_(_mat(v), start, end), v.vtype if v.vtype == "array" else "string", err=v.err)
+    if v.vtype == "array" or v.items is not None:
+        # array slice (0-based, end exclusive) — F.slice is 1-based
+        length = (end - start) if end is not None else (1 << 30)
+        return V(F.slice(_mat(v), start + 1, length), "array", err=v.err)
+    return V(slice_(_mat(v), start, end), "string", err=v.err)
 
 
 def _fn_includes(c, args, call):
@@ -538,6 +653,10 @@ def _fn_includes(c, args, call):
 
 def _fn_push(c, args, call):
     v, item = args["value"], args["item"]
+    if v.vtype not in ("array", "any") and v.items is None:
+        return V(F.lit(None), "array", err_always=v.err is None,
+                 err=_combine_err(v.err, _call_err(
+                     call, f'expected "array", got "{_VRL_TYPE[v.vtype]}"')))
     if v.items is not None:
         items = dict(v.items)
         items[(max(items) + 1) if items else 0] = item
@@ -547,6 +666,18 @@ def _fn_push(c, args, call):
 
 def _fn_append(c, args, call):
     v, it = args["value"], args["items"]
+    for side in (v, it):
+        if side.vtype not in ("array", "any") and side.items is None:
+            return V(F.lit(None), "array", err_always=side.err is None,
+                     err=_combine_err(side.err, _call_err(
+                         call, f'expected "array", got "{_VRL_TYPE[side.vtype]}"')))
+    if v.items is not None and it.items is not None:
+        # concrete arrays concatenate item-wise, preserving per-item
+        # types (heterogeneous results stay typed — array_type_def.vrl)
+        items = {i: x for i, x in enumerate(
+            [v.items.get(i, _null()) for i in range(max(v.items) + 1 if v.items else 0)]
+            + [it.items.get(i, _null()) for i in range(max(it.items) + 1 if it.items else 0)])}
+        return V(None, "array", items=items, err=_combine_err(v.err, it.err))
     return V(F.concat(_mat(v), _mat(it)), "array", err=_combine_err(v.err, it.err))
 
 
@@ -600,7 +731,14 @@ def _fn_ip_cidr_contains(c, args, call):
 
     cidr = _need_const(args, "cidr", call)
     v = args["value"]
-    return V(ip_cidr_contains(F.lit(cidr), _mat(v)), "bool", err=v.err)
+    # signature is (address_column, cidr_literal) — ip.py:39
+    out = ip_cidr_contains(_mat(v), cidr)
+    err = v.err
+    if v.vtype not in ("string", "any"):
+        return V(F.lit(None), "bool", err_always=err is None,
+                 err=_combine_err(err, _call_err(
+                     call, f'expected "string", got "{_VRL_TYPE[v.vtype]}"')))
+    return V(out, "bool", err=err)
 
 
 def _str_pred(method: str):
@@ -727,11 +865,14 @@ def _fn_find_enrichment_records(c, args, call):
     return V(looked, "array", err=_combine_err(cond.err, err))
 
 
-def _dict_parser(fn, *extra_params: str, detail: str = "parser did not match"):
+def _dict_parser(fn, *extra_params: str, detail: str = "parser did not match",
+                 types: dict | None = None):
     """Wrap a functions/parse.py builder returning dict[str, Column] as a
     concrete-object VRL function (parse_syslog, parse_apache_log, ...):
     the captures become compile-time object fields, fallible when every
-    capture is null while the input isn't."""
+    capture is null while the input isn't. `types` pins per-field VRL
+    types (the reference's parsers return TYPED objects — their typedefs
+    make e.g. sha3(parse_syslog!(x).message) infallible)."""
 
     def build(c, args, call):
         v = args["value"]
@@ -743,7 +884,8 @@ def _dict_parser(fn, *extra_params: str, detail: str = "parser did not match"):
                 pos.append(a.const if a.has_const else _mat(a))
         caps = fn(*pos)
         fields = {
-            name: V(cc, "any" if isinstance(cc, Column) else "string")
+            name: V(cc, (types or {}).get(name, "any")
+                    if isinstance(cc, Column) else "string")
             for name, cc in caps.items()
         }
         any_hit = F.lit(False)
@@ -763,9 +905,27 @@ def _fn_redact(c, args, call):
     if pats is None or pats.items is None:
         raise VrlCompileError("redact() needs a literal patterns array")
     patterns = []
-    for it in pats.items.values():
+    pat_ast = getattr(c, "arg_ast", {}).get("patterns")
+    item_asts = list(pat_ast.items) if isinstance(pat_ast, P.Arr) else []
+    for i, it in enumerate(pats.items.values()):
+        ast_i = item_asts[i] if i < len(item_asts) else None
+        if ast_i is not None and not isinstance(ast_i, (P.Lit, P.Obj, P.Arr)):
+            # a variable/call isn't a static expression, however constant
+            # (function_static_expression_needed → E402)
+            raise VrlCompileError(
+                "error[E610]: function compilation error: error[E402] "
+                "this argument must be a static expression — redact() "
+                "patterns can't vary per row")
         if not it.has_const:
-            raise VrlCompileError("redact() patterns must be literals")
+            raise VrlCompileError(
+                "error[E610]: function compilation error: error[E402] "
+                "this argument must be a static expression — redact() "
+                "patterns can't vary per row")
+        if isinstance(it.const, (dict, list, int, float, bool)):
+            raise VrlCompileError(
+                "error[E610]: function compilation error: error[E403] "
+                "invalid argument — redact() patterns must be regexes, "
+                "strings, or known filter names")
         patterns.append(it.const)
     text = args.get("text")
     return V(
@@ -1105,6 +1265,49 @@ def _fn_encode_kv(delimited: bool):
     return build
 
 
+_CLF_RX = (r'^(?<host>\S+) (?<identity>\S+) (?<user>\S+) '
+           r'\[(?<timestamp>[^\]]+)\] "(?<message>(?<method>\S+) (?<path>\S+) '
+           r'(?<protocol>[^"]+))" (?<status>\d+) (?<size>\d+)')
+
+
+def _fn_parse_common_log(c, args, call):
+    """parse_common_log (parse_common_log.rs): typed captures with the
+    reference's field set — `message` is the raw request line, protocol
+    keeps its HTTP/ prefix, and a `-` identity/user parses as absent."""
+    v = args["value"]
+    col = _mat(v)
+    hit = col.rlike(_CLF_RX)
+
+    def cap(name):
+        return F.when(hit, F.regexp_extract(col, _CLF_RX, _CLF_GROUPS[name]))
+
+    def dash_null(name):
+        c_ = cap(name)
+        return F.when(c_ != "-", c_)
+
+    ts = F.to_timestamp(cap("timestamp"), "dd/MMM/yyyy:HH:mm:ss Z")
+    fields = {
+        "host": V(dash_null("host"), "string"),
+        "identity": V(dash_null("identity"), "string"),
+        "user": V(dash_null("user"), "string"),
+        "timestamp": V(ts, "timestamp"),
+        "message": V(cap("message"), "string"),
+        "method": V(cap("method"), "string"),
+        "path": V(cap("path"), "string"),
+        "protocol": V(cap("protocol"), "string"),
+        "status": V(cap("status").cast("long"), "int"),
+        "size": V(cap("size").cast("long"), "int"),
+    }
+    err = F.when(~F.coalesce(hit, F.lit(False)),
+                 _call_err(call, "failed parsing common log line"))
+    return V(None, "object", fields=fields, err=_combine_err(v.err, err))
+
+
+_CLF_GROUPS = {"host": 1, "identity": 2, "user": 3, "timestamp": 4,
+               "message": 5, "method": 6, "path": 7, "protocol": 8,
+               "status": 9, "size": 10}
+
+
 def _fn_parse_nginx_log(c, args, call):
     from vector_spark.functions import parse as PF
 
@@ -1148,8 +1351,10 @@ def _registry():
         "array": (("value",), _assert_type("array")),
         "timestamp": (("value",), _assert_type("timestamp")),
         # strings
-        "upcase": (("value",), _simple(S.upcase, "string", "value")),
-        "downcase": (("value",), _simple(S.downcase, "string", "value")),
+        "upcase": (("value",), _simple(S.upcase, "string", "value",
+                                       value_type="string")),
+        "downcase": (("value",), _simple(S.downcase, "string", "value",
+                                         value_type="string")),
         "strip_whitespace": (("value",), _simple(S.strip_whitespace, "string", "value")),
         "strip_ansi_escape_codes": (("value",), _simple(S.strip_ansi_escape_codes, "string", "value")),
         "truncate": (("value", "limit", "ellipsis"), _simple(S.truncate, "string", "value", "limit", "ellipsis")),
@@ -1173,10 +1378,16 @@ def _registry():
         "format_number": (("value", "scale"), _simple(S.format_number, "string", "value", "scale")),
         "format_int": (("value", "base"), _simple(S.format_int, "string", "value", "base")),
         # crypto / ids
-        "md5": (("value",), _simple(S.md5_, "string", "value")),
-        "sha1": (("value",), _simple(S.sha1_, "string", "value")),
-        "sha2": (("value", "variant"), _simple(S.sha2_, "string", "value", "variant")),
-        "sha3": (("value", "variant"), _simple(S.sha3_, "string", "value", "variant")),
+        "md5": (("value",), _simple(S.md5_, "string", "value",
+                                    value_type="string")),
+        "sha1": (("value",), _simple(S.sha1_, "string", "value",
+                                     value_type="string")),
+        "sha2": (("value", "variant"), _simple(_sha_fn(S.sha2_, 256), "string",
+                                               "value", "variant",
+                                               value_type="string")),
+        "sha3": (("value", "variant"), _simple(_sha_fn(S.sha3_, 512), "string",
+                                               "value", "variant",
+                                               value_type="string")),
         "uuid_v4": ((), lambda c, a, call: V(S.uuid_v4(), "string")),
         "now": ((), lambda c, a, call: V(F.current_timestamp(), "timestamp")),
         "get_hostname": ((), lambda c, a, call: V(S.get_hostname(), "string")),
@@ -1189,7 +1400,7 @@ def _registry():
         "encode_json": (("value",), _fn_encode_json),
         # parsers
         "parse_json": (("value", "schema"), _fn_parse_json),
-        "parse_regex": (("value", "pattern"), _fn_parse_regex),
+        "parse_regex": (("value", "pattern", "numeric_groups"), _fn_parse_regex),
         "parse_grok": (("value", "pattern"), _fn_parse_grok),
         "parse_key_value": (("value", "key_value_delimiter", "field_delimiter"), _fn_parse_key_value),
         "parse_timestamp": (("value", "format"), _fn_parse_timestamp),
@@ -1209,9 +1420,11 @@ def _registry():
         # wider parser family — dict-returning builders → object values
         "parse_syslog": (("value",), _dict_parser(
             PF.parse_syslog,
-            detail="unable to parse input as valid syslog message")),
+            detail="unable to parse input as valid syslog message",
+            types={"message": "string", "appname": "string",
+                   "hostname": "string", "msgid": "string"})),
         "parse_apache_log": (("value", "format"), _dict_parser(parse_apache)),
-        "parse_common_log": (("value",), _dict_parser(PF.parse_apache_log)),
+        "parse_common_log": (("value",), _fn_parse_common_log),
         "parse_glog": (("value",), _dict_parser(PF.parse_glog)),
         "parse_aws_alb_log": (("value",), _dict_parser(PF.parse_aws_alb_log)),
         "parse_aws_vpc_flow_log": (("value",), _dict_parser(PF.parse_aws_vpc_flow_log)),
@@ -1357,8 +1570,8 @@ class _Compiler:
                 if s not in node.fields:
                     return _null()
                 node = node.fields[s]
-            elif node.vtype == "object" and node.col is not None:
-                return V(node.col.getItem(s), "any")
+            elif node.vtype in ("object", "any") and node.col is not None:
+                node = V(node.col.getItem(s), "any")
             else:
                 return _null()
         if isinstance(node, dict):  # bare "." — whole event
@@ -1404,19 +1617,43 @@ class _Compiler:
             if e.kind == "null":
                 return _null()
             if e.kind == "regex":
+                try:
+                    _re.compile(e.value)
+                except _re.error as rex:
+                    raise VrlCompileError(
+                        f"error[E101]: invalid regular expression — "
+                        f"regex parse error: {rex}") from None
                 return V(F.lit(e.value), "regex", const=e.value, has_const=True)
             if e.kind == "timestamp":
+                from datetime import datetime
+
+                try:
+                    datetime.fromisoformat(str(e.value).replace("Z", "+00:00"))
+                except ValueError:
+                    raise VrlCompileError(
+                        "error[E601]: invalid timestamp — input contains "
+                        "invalid characters") from None
                 return V(F.to_timestamp(F.lit(e.value)), "timestamp",
                          const=e.value, has_const=True)
             return _from_python(e.value)
         if isinstance(e, P.Arr):
-            return V(None, "array", items={i: self.expr(x) for i, x in enumerate(e.items)})
+            items = {i: self.expr(x) for i, x in enumerate(e.items)}
+            const_ok = all(it.has_const for it in items.values())
+            return V(None, "array", items=items, has_const=const_ok,
+                     const=[items[i].const for i in sorted(items)] if const_ok else None)
         if isinstance(e, P.Obj):
-            return V(None, "object", fields={k: self.expr(x) for k, x in e.pairs})
+            fields = {k: self.expr(x) for k, x in e.pairs}
+            const_ok = all(f.has_const for f in fields.values())
+            return V(None, "object", fields=fields, has_const=const_ok,
+                     const={k: f.const for k, f in fields.items()} if const_ok else None)
         if isinstance(e, P.Path):
             return self._get_path(e.segments)
         if isinstance(e, P.Var):
             if e.name not in self.vars:
+                if self.strict:
+                    raise VrlCompileError(
+                        f"error[E701]: call to undefined variable — "
+                        f"{e.name!r} is not bound")
                 return _null()
             return self.vars[e.name]
         if isinstance(e, P.Member):
@@ -1456,10 +1693,10 @@ class _Compiler:
                 self._raise_err(cv.err, not_prior)
             ccol = F.coalesce(_mat(cv), F.lit(False))
             gate = ccol if not_prior is None else (not_prior & ccol)
-            branches.append((gate, self._block_value(block, gate)))
+            branches.append((gate, self._gated_block_value(block, gate)))
             not_prior = (~ccol) if not_prior is None else (not_prior & ~ccol)
         other = (
-            self._block_value(e.otherwise, not_prior)
+            self._gated_block_value(e.otherwise, not_prior)
             if e.otherwise is not None
             else _null()
         )
@@ -1476,6 +1713,19 @@ class _Compiler:
                 berr = bv.err if bv.err is not None else F.lit(None).cast("string")
                 err = F.when(gate, berr).otherwise(err)
         return V(result, vt, err=err)
+
+    def _gated_block_value(self, block: tuple, gate: Column | None) -> V:
+        """_block_value with the branch gate ALSO pushed onto _cur_cond,
+        so a bang-call error raised inside an untaken branch stays gated
+        (the filter.toml behavior fixture's `if exists(.tags) {
+        string!(.tags.message) }` hinges on this)."""
+        prev = self._cur_cond
+        if gate is not None:
+            self._cur_cond = gate if prev is None else (prev & gate)
+        try:
+            return self._block_value(block, gate)
+        finally:
+            self._cur_cond = prev
 
     def _block_value(self, block: tuple, gate: Column | None) -> V:
         """A block in VALUE position: leading statements run gated on the
@@ -1535,13 +1785,18 @@ class _Compiler:
             return F.lit(False)
         if v.vtype in ("any",):
             c = _mat(v)
-            return c.isNotNull() & F.coalesce(c.cast("boolean"), F.lit(True))
+            return c.isNotNull() & F.coalesce(c.try_cast("boolean"), F.lit(True))
         return _mat(v).isNotNull()
 
     def _unary(self, e: P.Un) -> V:
         v = self.expr(e.expr)
         if e.op == "!":
-            return V(~F.coalesce(_mat(v), F.lit(False)), "bool", err=v.err)
+            if self.strict and v.vtype not in ("bool", "null", "any"):
+                raise VrlCompileError(
+                    f"error[E660]: non-boolean negation — this expression "
+                    f"resolves to \"{_VRL_TYPE[v.vtype]}\"")
+            return V(~F.coalesce(_mat(v).try_cast("boolean"), F.lit(False)),
+                     "bool", err=v.err)
         if e.op == "-":
             if v.has_const and isinstance(v.const, (int, float)):
                 return _from_python(-v.const)
@@ -1589,26 +1844,62 @@ class _Compiler:
         ]
         return F.array(*elems) if elems else F.array().cast("array<string>")
 
+    def _gated_expr(self, node, gate: Column) -> V:
+        """Evaluate a short-circuited rhs: side effects inside it
+        (event/variable assignments in a block) only apply on rows where
+        the gate holds (internal/short_circuit.vrl)."""
+        prev = self._cur_cond
+        self._cur_cond = gate if prev is None else (prev & gate)
+        try:
+            return self.expr(node)
+        finally:
+            self._cur_cond = prev
+
     def _binary(self, e: P.Bin) -> V:
         op = e.op
         if op == "??":
             left = self.expr(e.left)
-            right = self.expr(e.right)
             if left.err is None:
                 if self.strict and isinstance(e.left, (P.Lit, P.Arr, P.Obj)):
                     raise VrlCompileError(
                         "error[E651]: unnecessary error coalescing operation "
                         "— this expression can't fail")
+                # rhs side effects can never fire; still compile it for
+                # syntax checking, gated to never apply
+                self._gated_expr(e.right, F.lit(False))
                 return left
+            if left.err_always:
+                # `failing ?? fallback` IS the fallback — avoids mixing
+                # incompatible branch types in one when() column
+                return self._gated_expr(e.right, F.lit(True))
+            if left.err_never:
+                self._gated_expr(e.right, F.lit(False))
+                return V(left.col, left.vtype, fields=left.fields,
+                         items=left.items, const=left.const,
+                         has_const=left.has_const)
+            right = self._gated_expr(e.right, left.err.isNotNull())
             lcol = _mat(left)
-            col = F.when(left.err.isNull(), lcol).otherwise(_mat(right))
-            return V(col, _unify(left.vtype, right.vtype), err=right.err)
+            rcol = _mat(right)
+            vt = _unify(left.vtype, right.vtype)
+            if vt == "any" and left.vtype != right.vtype:
+                # incompatible branch types can't share one column:
+                # string-encode both (documented single-Column divergence)
+                lcol = lcol.cast("string")
+                rcol = rcol.cast("string")
+            col = F.when(left.err.isNull(), lcol).otherwise(rcol)
+            return V(col, vt, err=right.err)
         a = self.expr(e.left)
-        b = self.expr(e.right)
+        if op == "||":
+            b = self._gated_expr(e.right, ~self._truthy(a))
+        elif op == "&&":
+            b = self._gated_expr(e.right, self._truthy(a))
+        else:
+            b = self.expr(e.right)
         err = _combine_err(a.err, b.err)
+        ea = a.err_always or b.err_always  # an always-erring side errs the op
         if op in ("==", "!="):
             eq = self._eq(a, b)
-            return V(eq if op == "==" else ~eq, "bool", err=err)
+            return V(eq if op == "==" else ~eq, "bool", err=err, err_always=ea)
         if op == "||":
             # Or returns the lhs VALUE when truthy, else the rhs value
             # (op.rs Or; corpus logical/or.vrl: `null || "foo"` → "foo")
@@ -1634,21 +1925,35 @@ class _Compiler:
             and_err = None
             if b.vtype not in ("bool", "null", "any"):
                 and_err = F.when(self._truthy(a),
-                                 F.lit(f'expected "boolean", got "{b.vtype}"'))
-            cb = F.coalesce(_mat(b).cast("boolean"), F.lit(False))
+                                 F.lit(f'expected "boolean", got '
+                                       f'"{_VRL_TYPE[b.vtype]}"'))
+            cb = F.coalesce(_mat(b).try_cast("boolean"), F.lit(False))
             return V(self._truthy(a) & cb, "bool",
                      err=_combine_err(err, and_err))
         if op in ("<", ">", "<=", ">="):
+            # numbers compare with numbers, strings with strings
+            # (lexicographic); any other pairing is a runtime error
+            # (op.rs Gt/Ge/Lt/Le; corpus comparison/*.vrl)
+            comparable = (
+                (a.vtype in ("int", "float") and b.vtype in ("int", "float"))
+                or (a.vtype == "string" and b.vtype == "string")
+                or "any" in (a.vtype, b.vtype)
+            )
+            if not comparable:
+                return V(F.lit(None), "bool", err_always=err is None,
+                         err=_combine_err(err, F.lit(
+                             f'can\'t compare {_VRL_TYPE[a.vtype]} with '
+                             f'{_VRL_TYPE[b.vtype]}')))
             ca, cb = _mat(a), _mat(b)
             col = {"<": ca < cb, ">": ca > cb, "<=": ca <= cb, ">=": ca >= cb}[op]
-            return V(col, "bool", err=err)
+            return V(col, "bool", err=err, err_always=ea)
         if op == "+":
             ta, tb = a.vtype, b.vtype
             # op.rs Add: Bytes+Bytes concat; Bytes absorbs a null side
             # (corpus addition/{null_string,string_null}); numeric adds;
             # every other pairing is the typed runtime error below
             if ta == "string" and tb == "string":
-                return V(F.concat(_mat(a), _mat(b)), "string", err=err)
+                return V(F.concat(_mat(a), _mat(b)), "string", err=err, err_always=ea)
             if ta == "string" and tb == "null":
                 return V(_mat(a), "string", err=err)
             if ta == "null" and tb == "string":
@@ -1658,12 +1963,12 @@ class _Compiler:
                          "string", err=err)
             return self._num_op(
                 a, b, lambda x, y: x + y, err,
-                f'can\'t add type "{_VRL_TYPE[tb]}" to "{_VRL_TYPE[ta]}"')
+                f'can\'t add type "{_VRL_TYPE[tb]}" to "{_VRL_TYPE[ta]}"', ea=ea)
         if op == "-":
             return self._num_op(
                 a, b, lambda x, y: x - y, err,
                 f'can\'t subtract type "{_VRL_TYPE[b.vtype]}" from '
-                f'"{_VRL_TYPE[a.vtype]}"')
+                f'"{_VRL_TYPE[a.vtype]}"', ea=ea)
         if op == "*":
             # int * string repeats the string (op.rs Mul on Bytes;
             # corpus multiplication/{integer_string,string_integer})
@@ -1673,12 +1978,12 @@ class _Compiler:
             return self._num_op(
                 a, b, lambda x, y: x * y, err,
                 f'can\'t multiply type "{_VRL_TYPE[a.vtype]}" by '
-                f'"{_VRL_TYPE[b.vtype]}"')
+                f'"{_VRL_TYPE[b.vtype]}"', ea=ea)
         if op == "%":
             return self._num_op(
                 a, b, lambda x, y: x % y, err,
                 f'can\'t calculate remainder of type "{_VRL_TYPE[a.vtype]}" '
-                f'and "{_VRL_TYPE[b.vtype]}"')
+                f'and "{_VRL_TYPE[b.vtype]}"', ea=ea)
         if op == "/":
             # VRL division always yields a float and stays FALLIBLE even
             # with constant operands (corpus division/integer.vrl runs
@@ -1696,7 +2001,7 @@ class _Compiler:
                              err=F.lit("can't divide by zero"), err_always=True)
                 return V(F.lit(float(a.const) / float(b.const)), "float",
                          const=float(a.const) / float(b.const), has_const=True,
-                         err=F.lit(None).cast("string"))
+                         err=F.lit(None).cast("string"), err_never=True)
             ca = _mat(a).cast("double")
             cb = _mat(b).cast("double")
             div_err = F.when(F.coalesce(cb, F.lit(0.0)) == 0.0,
@@ -1713,7 +2018,7 @@ class _Compiler:
                              P.Call("merge", (), False, 0, 0))
         raise VrlCompileError(f"unknown operator {op}")
 
-    def _num_op(self, a: V, b: V, fn, err, msg: str) -> V:
+    def _num_op(self, a: V, b: V, fn, err, msg: str, ea: bool = False) -> V:
         if a.vtype not in _NUMERIC or b.vtype not in _NUMERIC:
             return V(F.lit(None), "any", err_always=err is None,
                      err=_combine_err(err, F.lit(msg)))
@@ -1730,7 +2035,7 @@ class _Compiler:
         vt = _unify(a.vtype, b.vtype)
         if vt not in ("int", "float"):
             vt = "float" if "any" not in (a.vtype, b.vtype) else "any"
-        return V(fn(_mat(a), _mat(b)), vt, err=err)
+        return V(fn(_mat(a), _mat(b)), vt, err=err, err_always=ea)
 
     # ---- calls
     def _call(self, call: P.Call) -> V:
@@ -1744,21 +2049,38 @@ class _Compiler:
         reg = registry()
         if name not in reg:
             raise VrlCompileError(
-                f"VRL function {name!r} is not wired into the compile-to-Column "
-                f"front-end (see vector_spark/vrl/compiler.py registry)")
+                f"error[E105]: call to undefined function — {name!r} is not in "
+                f"the compile-to-Column registry (vector_spark/vrl/compiler.py)")
         params, builder = reg[name]
         args: dict[str, V] = {}
         pos = 0
         for arg_name, arg_expr in call.args:
             if arg_name is None:
                 if pos >= len(params):
-                    raise VrlCompileError(f"too many arguments for {name}()")
+                    raise VrlCompileError(
+                        f"error[E106]: wrong number of function arguments "
+                        f"for {name}()")
                 arg_name = params[pos]
                 pos += 1
             elif arg_name not in params:
-                raise VrlCompileError(f"unknown argument {arg_name!r} for {name}()")
-            args[arg_name] = self.expr(arg_expr)
-        out = builder(self, args, call)
+                raise VrlCompileError(
+                    f"error[E108]: unknown function argument keyword "
+                    f"{arg_name!r} for {name}()")
+            a = self.expr(arg_expr)
+            if self.strict and a.err is not None:
+                raise VrlCompileError(
+                    f"error[E630]: fallible argument — the {arg_name!r} "
+                    f"argument of {name}() can fail; handle the error first")
+            args[arg_name] = a
+        self.arg_ast = {n: x for n, x in
+                        ((params[i] if nm is None else nm, xx)
+                         for i, (nm, xx) in enumerate(call.args))}
+        try:
+            out = builder(self, args, call)
+        except KeyError as missing:
+            raise VrlCompileError(
+                f"error[E107]: missing function argument — required "
+                f"argument missing for {name}(): {missing}") from None
         if call.bang:
             if out.err is None:
                 # only flag functions that are infallible in the
@@ -1770,12 +2092,15 @@ class _Compiler:
                         f"error[E620]: can't abort infallible function — "
                         f"{name}() can't fail, remove the `!`")
             else:
-                # fn!(): abort-on-error — the error is considered handled
-                # at compile time and terminates the program at runtime
-                out = V(out.col, out.vtype, err=out.err, fields=out.fields,
+                # fn!(): abort-on-error — the error RAISES to the
+                # program level at runtime (Terminate::Error), so the
+                # call's VALUE is infallible downstream; this keeps
+                # compositions like `append(array!(.foo), ...)` from
+                # re-flagging an already-handled error
+                self._raise_err(out.err, self._cur_cond)
+                out = V(out.col, out.vtype, fields=out.fields,
                         items=out.items, const=out.const,
-                        has_const=out.has_const, checked=True,
-                        err_always=out.err_always)
+                        has_const=out.has_const)
         return out
 
     def _exists(self, call: P.Call) -> V:
@@ -1792,20 +2117,43 @@ class _Compiler:
 
     def _unnest(self, call: P.Call) -> V:
         """unnest (unnest.rs): `. = unnest(.events)` — one output event
-        per array element, the path replaced by the element. Compiles to
-        ONE explode() on the output frame (the aws_cloudwatch fan-out
-        shape), so the emission stays a single declarative plan node."""
-        if len(call.args) != 1 or not isinstance(call.args[0][1], P.Path):
+        per array element, the path replaced by the element. The root
+        form compiles to ONE explode() on the output frame (the
+        aws_cloudwatch fan-out shape). When the target array's elements
+        are known at compile time (concrete items), unnest is also an
+        ordinary EXPRESSION returning the array of expanded events
+        (diagnostics/unnest_typedefs uses `.a = unnest(.noog.nork)`),
+        over event paths or variable paths alike."""
+        node = call.args[0][1] if len(call.args) == 1 else None
+        segs = base = None
+        if isinstance(node, P.Path):
+            segs = node.segments
+            base = self._get_path(())  # whole event
+        elif isinstance(node, P.Member) and isinstance(node.base, P.Var):
+            segs = node.segments
+            base = self.vars.get(node.base.name)
+        elif isinstance(node, P.Var):
+            segs = ()
+            base = self.vars.get(node.name)
+        if segs is None:
             raise VrlCompileError("unnest() takes a single path query")
-        segs = call.args[0][1].segments
-        if len(segs) != 1 or not isinstance(segs[0], str):
-            raise VrlCompileError(
-                "unnest() supports a single top-level field in the "
-                "compile-to-Column model")
-        v = self._get_path(segs)
+        v = _walk_v(base, segs) if base is not None else _null()
         if v.vtype not in ("array", "any") and v.items is None:
             raise VrlCompileError("unnest() target must be an array")
-        return V(None, "unnest!", const=segs[0], has_const=True)
+        if v.items is not None and base is not None and segs:
+            # concrete expansion: one copy of the CONTAINING value per
+            # element, with the path replaced by that element
+            out = {
+                i: _set_in(base, tuple(segs), item,
+                           P.Call("set", (), False, 0, 0))
+                for i, item in v.items.items()
+            }
+            return V(None, "array", items=out)
+        if len(segs) == 1 and isinstance(segs[0], str) and isinstance(node, P.Path):
+            return V(None, "unnest!", const=segs[0], has_const=True)
+        raise VrlCompileError(
+            "unnest() on an opaque nested array needs known elements in "
+            "the compile-to-Column model (top-level fields explode)")
 
     def _del(self, call: P.Call) -> V:
         if len(call.args) != 1 or not isinstance(call.args[0][1], P.Path):
@@ -1916,8 +2264,8 @@ class _Compiler:
             self._raise_err(cv.err, cond)
         if self.strict and cv.vtype not in ("bool",):
             raise VrlCompileError(
-                "error[E301]: if-statement predicate must be a boolean "
-                f"expression, got {cv.vtype}")
+                "error[E102]: non-boolean predicate — this predicate must "
+                f"resolve to a boolean, got {cv.vtype}")
 
     def _raise_err(self, err: Column, cond: Column | None):
         self.can_fail = True
@@ -1930,7 +2278,14 @@ class _Compiler:
         self.err_msg = F.coalesce(self.err_msg, F.when(raised, err))
 
     def _assign(self, s: P.Assign, cond: Column | None) -> V:
-        value = self.expr(s.expr)
+        try:
+            value = self.expr(s.expr)
+        except VrlCompileError as err:
+            if s.merge and "only objects can be merged" in str(err):
+                raise VrlCompileError(
+                    "only objects can be merged (error[E652]: both sides "
+                    "of |= must resolve to objects)") from None
+            raise
         if s.err_target is not None:
             if (self.strict and value.err is None
                     and isinstance(s.expr, (P.Lit, P.Arr, P.Obj))):
@@ -1955,7 +2310,7 @@ class _Compiler:
             # the error string when it fired (assignment.rs
             # Variant::Infallible resolve — pinned by the corpus
             # infallible_{ok,err}_return_value fixtures)
-            if value.err is None:
+            if value.err is None or value.err_never:
                 return ok
             if value.err_always:
                 return V(errcol, "string")

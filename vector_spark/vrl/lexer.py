@@ -15,10 +15,13 @@ from dataclasses import dataclass
 
 
 class VrlSyntaxError(ValueError):
-    def __init__(self, msg: str, pos: int, src: str = ""):
+    def __init__(self, msg: str, pos: int, src: str = "", code: str | None = None):
         line = src.count("\n", 0, pos) + 1 if src else "?"
-        super().__init__(f"VRL syntax error at offset {pos} (line {line}): {msg}")
+        prefix = f"error[{code}]: syntax error — " if code else ""
+        super().__init__(
+            f"{prefix}VRL syntax error at offset {pos} (line {line}): {msg}")
         self.pos = pos
+        self.code = code
 
 
 @dataclass(frozen=True)
@@ -46,14 +49,14 @@ def _read_string(src: str, i: int) -> tuple[str, int]:
         ch = src[j]
         if ch == "\\":
             if j + 1 >= n:
-                raise VrlSyntaxError("unterminated escape", j, src)
+                raise VrlSyntaxError("unterminated escape", j, src, code="E202")
             nxt = src[j + 1]
             mapped = {
                 "n": "\n", "t": "\t", "r": "\r", "\\": "\\",
                 '"': '"', "'": "'", "0": "\0", "{": "{", "}": "}",
             }.get(nxt)
             if mapped is None:
-                raise VrlSyntaxError(f"unknown escape \\{nxt}", j, src)
+                raise VrlSyntaxError(f"unknown escape \\{nxt}", j, src, code="E202")
             out.append(mapped)
             j += 2
             continue
@@ -61,7 +64,7 @@ def _read_string(src: str, i: int) -> tuple[str, int]:
             return "".join(out), j + 1
         out.append(ch)
         j += 1
-    raise VrlSyntaxError("unterminated string literal", i, src)
+    raise VrlSyntaxError("unterminated string literal", i, src, code="E202")
 
 
 def _read_quoted_raw(src: str, i: int, quote: str = "'") -> tuple[str, int]:
@@ -80,7 +83,7 @@ def _read_quoted_raw(src: str, i: int, quote: str = "'") -> tuple[str, int]:
             return "".join(out), j + 1
         out.append(ch)
         j += 1
-    raise VrlSyntaxError("unterminated raw literal", i, src)
+    raise VrlSyntaxError("unterminated raw literal", i, src, code="E202")
 
 
 def tokenize(src: str) -> list[Token]:

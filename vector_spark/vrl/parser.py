@@ -19,6 +19,13 @@ from dataclasses import dataclass, field
 
 from vector_spark.vrl.lexer import Token, VrlSyntaxError, tokenize
 
+# identifiers reserved for future language use (lex.rs:430-436);
+# rejected as VARIABLE names, still valid as path segments
+RESERVED = frozenset(
+    "array bool boolean break continue do emit float for forall foreach all "
+    "each any try undefined int integer iter object regex return string "
+    "traverse timestamp duration unless walk while loop".split())
+
 
 # --------------------------------------------------------------- AST
 @dataclass(frozen=True)
@@ -93,9 +100,10 @@ class Un:
 
 @dataclass(frozen=True)
 class Assign:
-    target: object  # Path | Var
+    target: object  # Path | Var | Member(Var, segs)
     err_target: object | None  # Path | Var | None
     expr: object
+    merge: bool = False  # came from `|=` (E652 diagnostics)
 
 
 @dataclass(frozen=True)
@@ -221,9 +229,13 @@ class _Parser:
             if op == "|=":
                 # `tgt |= expr` desugars to `tgt = tgt | expr`
                 # (parser.lalrpop AssignmentOp::Merge)
-                expr = Bin("|", self._target_as_expr(tgt), expr)
+                return Assign(tgt, err_tgt,
+                              Bin("|", self._target_as_expr(tgt), expr),
+                              merge=True)
             return Assign(tgt, err_tgt, expr)
-        except VrlSyntaxError:
+        except VrlSyntaxError as e:
+            if e.code is not None:  # coded diagnostics are fatal, not backtracking
+                raise
             return None
 
     @staticmethod
@@ -239,6 +251,16 @@ class _Parser:
         if t.kind == "IDENT" and t.value not in ("if", "else", "true", "false", "null", "abort"):
             nxt = self.peek(1)
             if nxt.kind == "OP" and nxt.value in (",", "=", "|="):
+                if t.value in RESERVED:
+                    raise VrlSyntaxError(
+                        f"reserved keyword {t.value!r} can't name a variable",
+                        t.pos, self.src, code="E205")
+                if t.value.startswith("@"):
+                    # @-fields are path segments, never variables
+                    # (lex.rs PathField; diagnostics/syntax_error_ampersat)
+                    raise VrlSyntaxError(
+                        f"unexpected syntax token: \"PathField\" {t.value!r}",
+                        t.pos, self.src, code="E203")
                 self.next()
                 return Var(t.value)
             # variable target with a path: `foo.bar = 5`, `lines[0] = ""`
@@ -299,7 +321,16 @@ class _Parser:
         return self._bin_level(self._cmp, ("==", "!="))
 
     def _cmp(self):
-        return self._bin_level(self._merge, ("<", ">", "<=", ">="))
+        left = self._merge()
+        if self.at_op("<", ">", "<=", ">="):
+            t = self.next()
+            self.skip_nl()
+            left = Bin(t.value, left, self._merge())
+            if self.at_op("<", ">", "<=", ">="):
+                raise VrlSyntaxError(
+                    "comparison operators can't be chained together",
+                    self.peek().pos, self.src, code="E650")
+        return left
 
     def _merge(self):
         # `|` (object merge) sits between comparison and additive in the
@@ -386,7 +417,11 @@ class _Parser:
                     self.next()
                     segs.append(self._coalesce_group())
                     continue
-                break
+                # `.foo.` — a dangling separator ends the query
+                # (diagnostics/syntax_error_path_segment, E203)
+                raise VrlSyntaxError(
+                    "unexpected end of query path",
+                    nxt.pos, self.src, code="E203")
             if first and self.peek().kind in ("IDENT", "STRING"):
                 segs.append(self._field_segment())
                 first = False
@@ -472,17 +507,18 @@ class _Parser:
             stmts = [self.parse_stmt()]
             multi = False
             while True:
-                self.skip_nl()
-                if self.at_op(";"):
-                    multi = True
+                sep = False
+                while self.at_op(";") or self.peek().kind == "NEWLINE":
+                    sep = True
                     self.next()
-                    self.skip_nl()
-                    if self.at_op(")"):
-                        break
-                    stmts.append(self.parse_stmt())
-                    continue
-                break
-            self.skip_nl()
+                if self.at_op(")"):
+                    break
+                if not sep:
+                    break
+                # `;`/newline separate statements inside a group
+                # (corpus if_statement/multiline_predicates)
+                multi = True
+                stmts.append(self.parse_stmt())
             self.expect_op(")")
             if not multi and not isinstance(stmts[0], (Assign, If, Abort)):
                 return stmts[0]
