@@ -8,12 +8,12 @@ catches regressions fast; the full sweep is one command:
 
     python tools/vrl_corpus.py --json CORPUS_VRL_r5.json
 
-Full-run status at pin time: 167/169 green (125 value_match,
-38 error_code_match, 2 error_match, 1 abort_match), 1 documented
-type-lattice gap (issues/8068: out-of-range index of array<string>
-types as null here, string|null in the reference, so `+` stays
-infallible), 1 skip (scalar input event — the event model is
-object-rooted, SURVEY §1.3).
+Full-run status at pin time: 169/169 green (126 value_match,
+40 error_code_match, 2 error_match, 1 abort_match) — the complete
+reference language suite, including issues/8068 (out-of-range indexes
+of homogeneous concrete arrays keep their ELEMENT type with an error
+channel, the reference's string|null) and the scalar-root fixture
+(compile-diagnostic only, classified without running).
 """
 
 from pathlib import Path

@@ -286,18 +286,15 @@ def run_fixture(spark, fx: Fixture, strict: bool = True) -> dict:
             return {"status": "error_detected", "got": got, "want": want}
         return {"status": "unexpected_error", "got": got, "want": want}
 
-    if fx.object and not isinstance(fx.object, dict):
-        return {"status": "skip",
-                "detail": "scalar input event (the DataFrame model is "
-                          "object-rooted, SURVEY §1.3)"}
+    scalar_event = bool(fx.object) and not isinstance(fx.object, dict)
+    obj = fx.object if (fx.object and not scalar_event) else {}
     try:
-        schema = _schema_for(fx.object if fx.object else {})
-        if not fx.object:
+        schema = _schema_for(obj)
+        if not obj:
             from pyspark.sql import types as T
 
             schema = T.StructType([])
-        df = spark.createDataFrame([tuple(fx.object.values())] if fx.object else [()],
-                                   schema)
+        df = spark.createDataFrame([tuple(obj.values())] if obj else [()], schema)
     except UnsupportedFixture as e:
         return {"status": "skip", "detail": str(e)}
 
@@ -309,6 +306,13 @@ def run_fixture(spark, fx: Fixture, strict: bool = True) -> dict:
         return classify_failure(e)
     except Exception as e:  # noqa: BLE001 — harness must keep going
         return {"status": "crash", "got": f"{type(e).__name__}: {e}", "want": want}
+
+    if scalar_event:
+        # the program compiled, but a scalar-rooted event can't be run
+        # in the object-rooted DataFrame model (SURVEY §1.3)
+        return {"status": "skip",
+                "detail": "scalar input event (the DataFrame model is "
+                          "object-rooted, SURVEY §1.3)"}
 
     try:
         shape, leaves = _v_tree(v)

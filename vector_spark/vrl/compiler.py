@@ -1029,10 +1029,18 @@ def _const_path(args: dict, call: P.Call, name: str = "path") -> tuple:
 
 def _index_item(node: V, s: int) -> V:
     """Array element lookup with negative-from-the-end semantics
-    (issues/5546_negative_indexing_arrays)."""
+    (issues/5546_negative_indexing_arrays). An out-of-range index of a
+    homogeneous concrete array keeps the ELEMENT type (the reference
+    types it T|null — issues/8068: `.onk[1] + "nork"` stays fallible
+    after del(.onk[0]))."""
     if node.items is not None:
         if s < 0:
             s = (max(node.items) + 1 if node.items else 0) + s
+        if s >= 0 and s not in node.items:
+            et = _arr_homogeneous(node.items)
+            if et not in (None, "null", "any"):
+                return V(F.lit(None), et, err=F.lit(
+                    f'expected "{_VRL_TYPE[et]}", got null'))
         return node.items.get(s) if s >= 0 else None
     if node.vtype in ("array", "any") and node.col is not None:
         if s < 0:
