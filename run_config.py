@@ -109,15 +109,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.validate:
         from vector_spark.plans.config import ConfigError
         from vector_spark.streaming.kafka import EnvironmentBlocked
+        from vector_spark.vrl import VrlCompileError, VrlSyntaxError
 
         try:
-            compile_config(spark, toml_text)
+            # validate applies the reference's compile-time VRL
+            # diagnostics (error[E###]) — `vector validate` behavior
+            compile_config(spark, toml_text, strict_vrl=True)
         except EnvironmentBlocked as e:
             # config compiles and the component is wired; only the
             # runtime dependency (jars/broker) is missing here
             print(f"ok (environment-blocked at runtime: {e})")
             return 0
-        except ConfigError as e:
+        except (ConfigError, VrlCompileError, VrlSyntaxError) as e:
             print(f"invalid: {e}")
             return 1
         print("ok")

@@ -838,3 +838,36 @@ inputs = ["sent"]
     got = {(r["labels"]["component"], r["value"]) for r in rows}
     # snapshot 1: a=7; snapshot 2: a=10, b=2 — counters cumulative
     assert got == {("lane_a", 7.0), ("lane_a", 10.0), ("lane_b", 2.0)}
+
+
+def test_validate_strict_vrl_rejects_unhandled_fallible(spark):
+    """`vector validate` behavior: strict_vrl applies the reference's
+    compile-time fallibility diagnostics to remap programs — an
+    unhandled fallible assignment is error[E103] at VALIDATE time,
+    while normal execution keeps the lenient runtime error channel."""
+    import pytest as _pytest
+
+    from vector_spark.vrl import VrlCompileError
+
+    toml = """
+[sources.logs]
+type = "generator"
+rows = 5
+
+[transforms.bad]
+type = "remap"
+inputs = ["logs"]
+source = '.x = 1 / 0'
+
+[sinks.out]
+type = "memory"
+inputs = ["bad"]
+"""
+    # lenient (execution) path compiles
+    compile_config(spark, toml)
+    # strict (validate) path rejects with the reference's code
+    with _pytest.raises(VrlCompileError, match=r"error\[E103\]"):
+        compile_config(spark, toml, strict_vrl=True)
+    # a handled program passes strict too
+    ok = toml.replace("'.x = 1 / 0'", "'.x = 1 / 0 ?? 0.0'")
+    compile_config(spark, ok, strict_vrl=True)

@@ -358,6 +358,7 @@ def _t_remap(df, cfg):
             drop_on_error=bool(cfg.get("drop_on_error", False)),
             drop_on_abort=bool(cfg.get("drop_on_abort", True)),
             enrichment=enrichment,
+            strict=bool(cfg.get("_strict_vrl", False)),
         )
         return prog.apply(df)
 
@@ -1226,8 +1227,13 @@ def _expand_input_globs(inputs: list[str], names: list[str]) -> list[str]:
 
 
 def compile_config(
-    spark: SparkSession, config: dict | str, env: dict[str, str] | None = None
+    spark: SparkSession, config: dict | str, env: dict[str, str] | None = None,
+    strict_vrl: bool = False,
 ) -> CompiledTopology:
+    """strict_vrl: compile remap VRL programs with the reference's
+    compile-time fallibility/type diagnostics (error[E###]) — the
+    `vector validate` behavior; execution keeps the lenient runtime
+    error channel."""
     if isinstance(config, str):
         import tomllib
 
@@ -1235,6 +1241,10 @@ def compile_config(
 
     sources = config.get("sources", {})
     transforms = config.get("transforms", {})
+    if strict_vrl:
+        for cfg in transforms.values():
+            if isinstance(cfg, dict):
+                cfg["_strict_vrl"] = True
     sinks = config.get("sinks", {})
 
     # 1. name validation
@@ -1248,6 +1258,10 @@ def compile_config(
     #    compound → serial chain of steps
     expanded = expand_macros(transforms)
     expanded = attach_enrichment(expanded, config.get("enrichment_tables"))
+    if strict_vrl:  # macro expansion copies cfgs — re-mark the results
+        for cfg in expanded.values():
+            if isinstance(cfg, dict):
+                cfg["_strict_vrl"] = True
 
     # input glob expansion against post-macro component names
     all_names = [*sources, *expanded]

@@ -26,10 +26,12 @@ from vector_spark.vrl.compiler import (
     compile_condition,
     compile_program,
 )
+from vector_spark.vrl.lexer import VrlSyntaxError
 
 __all__ = [
     "CompiledProgram",
     "VrlCompileError",
+    "VrlSyntaxError",
     "compile_condition",
     "compile_program",
 ]

@@ -2419,15 +2419,18 @@ class _Compiler:
 # ------------------------------------------------------- public API
 class CompiledProgram:
     def __init__(self, source: str, drop_on_error: bool = False, drop_on_abort: bool = True,
-                 enrichment: dict | None = None):
+                 enrichment: dict | None = None, strict: bool = False):
         self.source = source
         self.ast = P.parse(source)
         self.drop_on_error = drop_on_error
         self.drop_on_abort = drop_on_abort
         self.enrichment = enrichment
+        # strict: the reference's compile-time fallibility/type checks
+        # (error[E###] diagnostics) — used by `run_config --validate`
+        self.strict = strict
 
     def apply(self, df: DataFrame) -> DataFrame:
-        c = _Compiler(df.schema, self.enrichment)
+        c = _Compiler(df.schema, self.enrichment, strict=self.strict)
         c.run(self.ast)
 
         if c.emit_array is not None:
@@ -2520,8 +2523,10 @@ class CompiledProgram:
 
 def compile_program(source: str, drop_on_error: bool = False,
                     drop_on_abort: bool = True,
-                    enrichment: dict | None = None) -> CompiledProgram:
-    return CompiledProgram(source, drop_on_error, drop_on_abort, enrichment)
+                    enrichment: dict | None = None,
+                    strict: bool = False) -> CompiledProgram:
+    return CompiledProgram(source, drop_on_error, drop_on_abort, enrichment,
+                           strict=strict)
 
 
 def compile_condition(source: str, schema: T.StructType,
