@@ -16,6 +16,8 @@ All are pure projections (narrow, zero-shuffle, codegen'd).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -108,31 +110,68 @@ def _tree_select(df: DataFrame, tree: dict) -> DataFrame:
     ])
 
 
+_IDX_KEY = re.compile(r"^(.+)\[(\d+)\]$")
+
+
+def _array_from_items(items: dict[int, object]) -> Column:
+    """`"a[0]" = v` index-path assignments → ONE array column. A
+    homogeneous set stays typed; mixed types use the VRL variant
+    convention (canonical-JSON scalar strings — the SAME encoding the
+    VRL compiler's `==` uses on both sides, so conditions like
+    `.a == [0, "1", 2.0]` agree; add_fields.toml add_fields_array)."""
+    import json as _json
+
+    hi = max(items)
+    kinds = {type(v) for v in items.values() if v is not None}
+    if len(kinds) <= 1:
+        return F.array(*[F.lit(items.get(i)) for i in range(hi + 1)])
+
+    def enc(v):
+        if v is None:
+            return F.lit(None).cast("string")
+        if isinstance(v, bool):
+            return F.lit("true" if v else "false")
+        if isinstance(v, str):
+            return F.lit(_json.dumps(v))
+        return F.lit(v).cast("string")
+
+    return F.array(*[enc(items.get(i)) for i in range(hi + 1)])
+
+
 class AddFields(Transform):
     """Literal or `{{field}}`-templated values; overwrite flag mirrors
     add_fields' insert-vs-keep semantics. Dotted / TOML-nested names
-    insert by path (add_fields.rs:104). Array-index paths ("a[0]") and
-    heterogeneous arrays are a documented divergence."""
+    insert by path (add_fields.rs:104); array-index paths ("a[0]")
+    build array columns (heterogeneous ones in the VRL variant
+    encoding)."""
 
     def __init__(self, fields: dict[str, object], overwrite: bool = True):
         self.fields, self.overwrite = fields, overwrite
 
     def apply(self, df: DataFrame) -> DataFrame:
         tree = _tree_from_df(df)
+        arrays: dict[str, dict[int, object]] = {}
         for name, value in flatten_paths(self.fields).items():
+            m = _IDX_KEY.match(name)
+            if m:
+                arrays.setdefault(m.group(1), {})[int(m.group(2))] = value
+                continue
             col = render_template(value) if isinstance(value, str) else F.lit(value)
             segs = name.split(".")
             if not self.overwrite and _tree_get(tree, segs) is not None:
                 continue
             _tree_set(tree, segs, col)
+        for name, items in arrays.items():
+            segs = name.split(".")
+            if not self.overwrite and _tree_get(tree, segs) is not None:
+                continue
+            _tree_set(tree, segs, _array_from_items(items))
         return _tree_select(df, tree)
 
 
 def render_template(value: str) -> Column:
     """Vector `{{field}}` templates (src/template.rs) → concat of
     literals and column refs, e.g. "app-{{source}}-{{severity}}"."""
-    import re
-
     parts = re.split(r"(\{\{\s*[\w.]+\s*\}\})", value)
     cols = []
     for p in parts:

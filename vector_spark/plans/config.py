@@ -228,26 +228,87 @@ def _t_coercer(df, cfg):
     return Coercer(cfg["types"], drop_unspecified=bool(cfg.get("drop_unspecified"))).apply(df)
 
 
+def _merge_json_shape(a, b):
+    """Union two sampled JSON values into one shape (dicts merge
+    recursively, conflicting scalar types widen to string)."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = _merge_json_shape(out.get(k), v) if k in out else v
+        return out
+    if a is None:
+        return b
+    if b is None or type(a) is type(b):
+        return a
+    return ""  # mixed scalar types → string
+
+
+def _schema_of_py(value):
+    from pyspark.sql import types as T
+
+    if isinstance(value, bool):
+        return T.BooleanType()
+    if isinstance(value, int):
+        return T.LongType()
+    if isinstance(value, float):
+        return T.DoubleType()
+    if isinstance(value, dict):
+        return T.StructType(
+            [T.StructField(k, _schema_of_py(v)) for k, v in value.items()])
+    if isinstance(value, list):
+        inner = None
+        for v in value:
+            inner = _merge_json_shape(inner, v)
+        return T.ArrayType(_schema_of_py(inner))
+    if value is None:
+        return T.NullType()
+    return T.StringType()
+
+
 def _t_json_parser(df, cfg):
-    from vector_spark.functions.parse import parse_json_map
+    import json as _json
 
     fld = cfg.get("field", "message")
     target = cfg.get("target_field")
-    parsed = parse_json_map(F.col(fld))
+    keys = cfg.get("keys")
+    if keys:
+        # explicit key list: promote from the parsed map (the scale
+        # path — no inference pass)
+        from vector_spark.functions.parse import parse_json_map
+
+        parsed = parse_json_map(F.col(fld))
+        out = df
+        for k in keys:
+            out = out.withColumn(k, F.element_at(parsed, k))
+        return out
+    # no keys: infer the struct the way spark.read.json does — ONE
+    # tiny driver-side sample pass decides the schema (json_parser.rs
+    # merges parsed keys into the event; a columnar engine needs the
+    # shape up front). Production inputs should pass `keys` or
+    # `target_field` with a known shape; the sample is capped.
+    shape = None
+    for row in df.select(fld).limit(100).collect():
+        if not row[0]:
+            continue
+        try:
+            v = _json.loads(row[0])
+        except ValueError:
+            continue
+        if isinstance(v, dict):
+            shape = _merge_json_shape(shape, v)
+    if shape is None:
+        raise ConfigError(
+            f"json_parser could not infer a schema from {fld!r} "
+            f"(no parseable JSON objects in the sample); pass `keys` "
+            f"or `target_field`")
+    parsed = F.from_json(F.col(fld), _schema_of_py(shape))
     if target:
         return df.withColumn(target, parsed)
-    # merge keys at root requires a known key list in columnar form —
-    # the reference's default merges ALL parsed keys into the event
-    # root, which needs the key list up front in a columnar engine, so
-    # an empty config is a compile error rather than a silent no-op
-    keys = cfg.get("keys")
-    if not keys:
-        raise ConfigError(
-            "json_parser needs `target_field` (map column) or `keys` (promote list)"
-        )
     out = df
-    for k in keys:
-        out = out.withColumn(k, F.element_at(parsed, k))
+    for name in shape:
+        out = out.withColumn(name, parsed[name])
+    if cfg.get("drop_field", True) and fld not in shape:
+        out = out.drop(fld)  # json_parser.rs drop_field default
     return out
 
 
@@ -461,6 +522,35 @@ def _t_concat(df, cfg):
 def _t_key_value_parser(df, cfg):
     from vector_spark.operators.remap import KeyValueParser
 
+    if "promote" not in cfg and "target_field" not in cfg \
+            and "trim_key" not in cfg and "trim_value" not in cfg:
+        # reference default (key_value_parser.rs): ALL parsed keys
+        # insert at the event root, values kept RAW (quotes included).
+        # Key set via the same sampled inference as json_parser — one
+        # tiny driver pass; production configs list `promote` instead.
+        fld = cfg.get("field", "message")
+        sep = cfg.get("separator", " ")
+        fs = cfg.get("field_split", "=")
+        keys: list[str] = []
+        for row in df.select(fld).limit(100).collect():
+            for tok in (row[0] or "").split(sep):
+                if fs in tok:
+                    k = tok.partition(fs)[0].strip()
+                    if k and k not in keys:
+                        keys.append(k)
+        if not keys:
+            raise ConfigError(
+                f"key_value_parser could not infer keys from {fld!r}; "
+                f"pass `promote` or `target_field`")
+        m = F.str_to_map(F.col(fld), F.lit(sep), F.lit(fs))
+        m = F.map_from_arrays(
+            F.transform(F.map_keys(m), F.trim),
+            F.map_values(m),
+        )
+        out = df
+        for k in keys:
+            out = out.withColumn(k, F.element_at(m, k))
+        return out
     return KeyValueParser(
         field=cfg.get("field", "message"),
         separator=cfg.get("separator", " "),
