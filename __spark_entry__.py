@@ -3723,7 +3723,7 @@ del(.props)
     SELECT event_id,
            round(value * 100, 4) AS value_cents,
            CASE WHEN coalesce(value, 0) = 0 THEN 0.0 ELSE round(value / value, 4) END AS q,
-           CASE WHEN coalesce(value, 0) = 0 THEN 'division by zero' END AS qerr,
+           CASE WHEN coalesce(value, 0) = 0 THEN 'can''t divide by zero' END AS qerr,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            CASE WHEN event_type = 'error' THEN 'alert'
                 WHEN value >= 50.0 THEN 'review'
